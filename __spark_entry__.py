@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (smoke check, sf0.001).
+``queries()`` — every implemented operator from SURVEY §2 as
+``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()`` — matching DuckDB ANSI-SQL strings (omitted for
+non-SQL-expressible ops → rows-only check).
+
+Implementation lives in ``ingestion_pipeline_spark``; this module is a
+thin binding to the plan registry.
 """
 
 from __future__ import annotations
@@ -12,27 +15,45 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the RAG retrieve path (SURVEY §3.2) minus the LLM —
+    probe-vector cosine top-k over the embeddings corpus, threshold
+    filter, point-lookup join to documents, context-line projection
+    (P4/J1/T1/V3-V5 in one plan)."""
+    from ingestion_pipeline_spark.operators.similarity import brute_force_topk
+    from ingestion_pipeline_spark.sources.parquet_tables import table
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    probe_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    probe = [float(x) for x in probe_row["embedding"]]
+    hits = brute_force_topk(emb, "embedding", probe, k=5, exclude_id=0)
+    docs = table(spark, SF_SMOKE, "documents")
+    return (
+        hits.join(docs, hits.vec_id == docs.doc_id)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "sim",
+            F.format_string("- CVE ID: %s | %s", F.col("doc_id").cast("string"),
+                            F.substring("text", 1, 80)).alias("context_line"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("doc_id"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ingestion_pipeline_spark.plans import query_map
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return query_map()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ingestion_pipeline_spark.plans import oracle_sql_map
+
+    return oracle_sql_map()

@@ -1,0 +1,129 @@
+"""Text / regex / string scalar functions (SURVEY §2.9 X1-X10) plus the
+training-data text-analysis family (token counting, quality scoring,
+language-ID heuristic, fingerprinting).
+
+All pure Column expressions — JVM-side, whole-stage-codegen'd; no Python
+in the hot path, so they vectorize over 100 TB of documents unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+CVE_REGEX_ALL = r"CVE-\d{4}-\d{4,7}"   # llama-chatbot/main.py:290-294 (X1)
+CVE_REGEX_FIRST = r"CVE-\d{4}-\d+"     # chatbot/main.py:121-128 (X2)
+
+
+def extract_cve_ids(col: Column) -> Column:
+    """X1+G3 — all distinct CVE ids in a text (llama-chatbot/main.py:294
+    wraps findall in set())."""
+    return F.array_distinct(F.regexp_extract_all(col, F.lit(CVE_REGEX_ALL), 0))
+
+
+def extract_first_cve(col: Column) -> Column:
+    """X2 — first CVE id or '' (re.search → group(0), chatbot/main.py:121-128)."""
+    return F.regexp_extract(col, CVE_REGEX_FIRST, 0)
+
+
+def phrase_set(col: Column) -> Column:
+    """X4/P10 — lower → split on '.' → trim → drop empties → distinct
+    (llama-chatbot/eval.py:17-19)."""
+    phrases = F.transform(F.split(F.lower(col), r"\."), lambda p: F.trim(p))
+    return F.array_distinct(F.filter(phrases, lambda p: p != F.lit("")))
+
+
+def word_tokens(col: Column) -> Column:
+    """Whitespace tokenization; drops empty tokens like str.split()."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    """Word-count (llama-chatbot/main.py:211-214 shape: len(x.split()))."""
+    return F.size(word_tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Approximate BPE token count: split on word/number/punct boundaries
+    (a GPT-2-style pre-tokenizer regex, simplified to RE2-safe form)."""
+    pieces = F.split(col, r"(?:\s+)|(?=[^\w\s])")
+    return F.size(F.filter(pieces, lambda t: t != F.lit("")))
+
+
+def truncate(col: Column, n: int = 200) -> Column:
+    """X5 — text[:200] (chatbot/main.py:155-160)."""
+    return F.substring(col, 1, n)
+
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = word_tokens(F.lower(col))
+    stop = F.filter(toks, lambda t: t.isin(STOPWORDS))
+    return F.when(F.size(toks) > 0, F.size(stop) / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    no_punct = F.regexp_replace(col, r"[^\w\s]", "")
+    return F.when(
+        F.length(col) > 0,
+        (F.length(col) - F.length(no_punct)) / F.length(col),
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column) -> Column:
+    toks = word_tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]: rewards moderate
+    length, low punctuation density, presence of stopwords. Deterministic
+    column arithmetic (clamped like llama-chatbot/main.py:195-215)."""
+    len_score = F.least(F.lit(1.0), token_count(col) / F.lit(100.0))
+    stop_score = F.least(F.lit(1.0), stopword_ratio(col) * F.lit(5.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * F.lit(4.0))
+    score = len_score * F.lit(0.4) + stop_score * F.lit(0.3) + punct_penalty * F.lit(0.3)
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), score))
+
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Real deployments swap in a proper model via the same column
+# signature; the heuristic keeps the whole thing JVM-side.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "und", "die", "ist"],
+    "fr": ["le", "et", "les", "est"],
+    "es": ["el", "y", "los", "es"],
+    "zh": ["的", "是", "了", "在"],
+}
+
+
+def langid(col: Column) -> Column:
+    """Marker-hit language ID: argmax over per-language marker counts,
+    'und' when nothing hits. Ties break by language-code order (stable)."""
+    toks = word_tokens(F.lower(col))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(LANG_MARKERS):
+        hits = F.size(F.filter(toks, lambda t, _m=LANG_MARKERS[lang]: t.isin(_m)))
+        improved = hits > best_hits
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(improved, hits).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: 64-bit hash of normalized text (lowercased,
+    whitespace-collapsed). Exact-dup key at any scale (xxhash64 is the
+    JVM-side 64-bit hash; stable across partitions/runs)."""
+    normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def content_md5(col: Column) -> Column:
+    """Portable content hash (md5 hex) — matches any SQL oracle."""
+    normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    return F.md5(normalized)

@@ -1,0 +1,65 @@
+"""Reusable relational operators (SURVEY §2.4-2.8).
+
+Thin, named builders over the DataFrame API so every query in the plan
+registry stays declarative — Catalyst keeps pushdown / pruning / join
+selection. Scale notes per operator in the docstrings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def broadcast_enrich(fact: DataFrame, dim: DataFrame, on: Column | str | list[str], how: str = "inner") -> DataFrame:
+    """Equi-join a fact table to a small dimension with an explicit
+    broadcast hint (J1-J4 are all small-side joins — SURVEY §2.5). At
+    100 TB the fact side streams; no shuffle of the big side occurs."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def topk(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k (T1-T3): ORDER BY + LIMIT. Spark executes this as a
+    per-partition TakeOrdered then a k-row merge on the driver — no full
+    sort, no shuffle of the whole table; safe at any scale for small k.
+    Pass a deterministic tie-breaker in ``order_by``."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_alias: str = "rank",
+) -> DataFrame:
+    """Per-group top-k via row_number window (T1 per-query-group form).
+    One shuffle on the group key; skewed groups are handled by AQE.
+    ``order_by`` must include a unique tie-breaker for determinism."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_alias, F.row_number().over(w))
+        .filter(F.col(rank_alias) <= k)
+    )
+
+
+def latest_per_key(df: DataFrame, key: str, ts_order: Sequence[Column]) -> DataFrame:
+    """T4/T5 — most recent record per key (filter → orderBy → limit 1 per
+    group). Window row_number, single shuffle on the key."""
+    return topk_per_group(df, [key], ts_order, 1).drop("rank")
+
+
+def running_total(
+    df: DataFrame, partition_by: str, order_by: Sequence[Column], value: Column, alias: str
+) -> DataFrame:
+    """Cumulative sum per key (streaming-style running aggregate done as a
+    batch window). The value is summed in decimal for determinism."""
+    w = (
+        Window.partitionBy(partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(alias, F.sum(value).over(w).cast("double"))

@@ -1,0 +1,155 @@
+"""Similarity search operators (SURVEY §2.10 V3-V5, §2.7 T1-T3).
+
+The reference's vector search is an external service call (Pinecone
+``similarity_search_with_score`` with metadata filter + threshold + k —
+``chatbot/main.py:111-117``). Here it is a query plan:
+
+    scan embeddings → [metadata filter] → cosine column → [threshold]
+    → top-k (global or per-query)
+
+Strategy selection for scale (SURVEY §4 item 1):
+- ``brute_force_topk``: exact. O(N) scan per probe but no shuffle — a
+  projection + TakeOrdered. Right answer for one-off probes even at
+  100 TB (it reads the corpus once, embarrassingly parallel).
+- ``topk_join``: exact, many probes at once. Broadcast the probe set
+  (queries are small), compute sims fact-side, per-probe window top-k.
+- ``lsh_topk_join``: approximate. Random-hyperplane signatures bucket
+  the corpus; candidates only within matching bands → turns the cross
+  product into an equi-join. Use when |probes|·|corpus| is too big.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, normalize
+from .relational import topk, topk_per_group
+
+
+def with_cosine(df: DataFrame, vec_col: str, probe: list[float], alias: str = "sim") -> Column | DataFrame:
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    return df.withColumn(alias, F.round(cosine(F.col(vec_col), probe_col), 6))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec_col: str,
+    probe: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    threshold: float | None = None,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k against one probe vector (V3/V4 with T1-T3 k and
+    V5 threshold semantics). Sim rounded to 6dp for cross-engine
+    determinism; ties broken by id."""
+    out = with_cosine(df, vec_col, probe)
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    if threshold is not None:
+        out = out.filter(F.col("sim") >= threshold)   # F3 — chatbot/main.py:69
+    return topk(out, [F.col("sim").desc(), F.col(id_col).asc()], k)
+
+
+def topk_join(
+    corpus: DataFrame,
+    probes: DataFrame,
+    corpus_vec: str = "embedding",
+    probe_vec: str = "embedding",
+    probe_id: str = "probe_id",
+    k: int = 5,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Exact top-k per probe: broadcast-cross-join the (small) probe set
+    against the corpus, window top-k per probe. The corpus never
+    shuffles; the only shuffle is the per-probe window, keyed by
+    probe_id (cardinality = |probes|, so salting is unnecessary)."""
+    p = probes.select(
+        F.col(probe_id), F.col(probe_vec).alias("__probe_vec")
+    )
+    joined = corpus.crossJoin(F.broadcast(p)).withColumn(
+        "sim", F.round(cosine(F.col(corpus_vec), F.col("__probe_vec")), 6)
+    )
+    if threshold is not None:
+        joined = joined.filter(F.col("sim") >= threshold)
+    return topk_per_group(
+        joined.drop("__probe_vec"), [probe_id], [F.col("sim").desc(), F.col("vec_id").asc()], k
+    ).drop("rank")
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH (driver-side,
+    tiny). Uses a simple LCG so no numpy/random state is involved."""
+    state = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        plane = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            plane.append((state / 0x7FFFFFFF) * 2.0 - 1.0)
+        planes.append(plane)
+    return planes
+
+
+def signature_bits(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection signature as an array<int> of 0/1 bits —
+    pure column math (one dot product per plane)."""
+    bits = []
+    for plane in planes:
+        pcol = F.array(*[F.lit(float(x)) for x in plane])
+        prods = F.zip_with(vec_col, pcol, lambda x, y: x.cast("double") * y)
+        d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(d >= 0, 1).otherwise(0))
+    return F.array(*bits)
+
+
+def lsh_topk_join(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    corpus_vec: str = "embedding",
+    probe_vec: str = "embedding",
+    probe_id: str = "probe_id",
+    k: int = 5,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k per probe via banded sign-LSH: corpus and probes
+    get ``n_bands`` band-keys (each hashing ``n_planes//n_bands`` signs);
+    candidate pairs share at least one band-key; exact cosine re-ranks
+    candidates. The cross product becomes an equi-join on (band, key) —
+    shuffle-partitioned, scalable to arbitrary corpus size."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    per_band = n_planes // n_bands
+
+    def with_bands(df: DataFrame, vec: str, id_alias: str, vec_alias: str) -> DataFrame:
+        out = df.withColumn("__sig", signature_bits(F.col(vec), planes))
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws("", F.slice(F.col("__sig"), b * per_band + 1, per_band)).alias("key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return out.withColumn("__band", F.explode(bands)).select(
+            F.col(id_alias),
+            F.col(vec).alias(vec_alias),
+            F.col("__band.band").alias("band"),
+            F.col("__band.key").alias("bkey"),
+        )
+
+    c = with_bands(corpus, corpus_vec, "vec_id", "__corpus_vec")
+    p = with_bands(probes, probe_vec, probe_id, "__probe_vec")
+    cand = (
+        c.join(p, ["band", "bkey"])
+        .select("vec_id", probe_id, "__corpus_vec", "__probe_vec")
+        .dropDuplicates(["vec_id", probe_id])
+        .withColumn("sim", F.round(cosine(F.col("__corpus_vec"), F.col("__probe_vec")), 6))
+    )
+    return topk_per_group(
+        cand.drop("__probe_vec", "__corpus_vec"), [probe_id], [F.col("sim").desc(), F.col("vec_id").asc()], k
+    ).drop("rank")

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference pipeline is single-process row-at-a-time Python (e.g. the
+poll loop at ``consumer/consumer.py:127-145``); here every knob is set for
+distributed columnar execution:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  broadcast demotion — the 100 TB safety net.
+- Arrow on: every Python-boundary transfer is vectorized.
+- UTC session timezone: deterministic timestamp semantics across engines
+  (the DuckDB oracle is timezone-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "ingestion-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``shuffle_partitions`` defaults to the local core count; on a real
+    cluster AQE coalesces/splits at runtime so the static value only has
+    to be a sane upper bound (set it ~2-3x total executor cores there).
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
