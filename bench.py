@@ -1,0 +1,81 @@
+"""Headline benchmark: runs the engine's representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed twice and the best time kept (first run pays
+one-off file-listing / codegen costs that a warm cluster amortizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q10_returned_revenue",
+    "g_events_stats",
+    "t_top3_orders_per_customer",
+    "w_hourly_event_rollup",
+    "p_props_extraction",
+    "x_text_stats",
+    "e_rag_verdicts",
+    "v_cosine_top8",
+    "v_knn_join",
+    "v_lsh_knn_join",
+    "d_exact_dup_groups",
+    "d_minhash_lsh_candidates",
+    "s_confidence_scores",
+]
+
+
+def main() -> None:
+    from ingestion_pipeline_spark.plans import query_map
+    from ingestion_pipeline_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("bench")
+    qs = query_map()
+    # Session warmup: JVM + parquet footer caches, one tiny action.
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink executes the FULL plan (count() would let Catalyst
+            # prune computed columns and under-measure).
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import content_md5, word_tokens
+from .relational import spread
 
 
 def normalized_text(col: Column) -> Column:
@@ -44,21 +45,40 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct). Column-only: sliding window via
-    transform over token indices."""
+    transform over token indices.
+
+    The token array is bound to a lambda variable by wrapping it in a
+    one-element array and transforming over it — so the (expensive)
+    tokenization is evaluated once per row, not once per reference;
+    per-gram assembly uses element_at (no array copies like slice)."""
     toks = word_tokens(F.lower(col))
-    count = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return F.array_distinct(F.when(count >= n, grams).otherwise(F.array()))
+
+    def build(t: Column) -> Column:
+        count = F.size(t)
+        idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+        )
+        return F.array_distinct(F.when(count >= n, grams).otherwise(F.array()))
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
 
 
-def minhash_signature(shingle_col: Column, n_hashes: int = 32, seed: int = 42) -> Column:
-    """MinHash signature: per hash function i, min over shingles of
-    xxhash64(shingle, seed+i). array<bigint> of length n_hashes."""
+def hashed_shingles(shingle_col: Column, seed: int = 42) -> Column:
+    """One expensive string-hash pass: shingle strings → array<bigint>.
+    Materialize this as a column BEFORE computing signatures so it is
+    evaluated once, not once per hash function."""
+    return F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed)))
+
+
+def minhash_signature(hashed_col: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature as array<bigint> over pre-hashed shingles (see
+    ``hashed_shingles``): the i-th hash function is a cheap re-hash of
+    the 64-bit value with seed i — n_hashes bigint passes instead of
+    n_hashes string passes."""
     mins = [
-        F.array_min(F.transform(shingle_col, lambda s, _i=i: F.xxhash64(s, F.lit(seed + _i))))
+        F.array_min(F.transform(hashed_col, lambda h, _i=i: F.xxhash64(h, F.lit(_i))))
         for i in range(n_hashes)
     ]
     return F.array(*mins)
@@ -78,9 +98,11 @@ def minhash_lsh_candidates(
     is a hash bucket, so this scales as a normal shuffle join; no cross
     product exists anywhere in the plan."""
     rows = n_hashes // n_bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_n), n_hashes)
     banded = (
-        df.select(F.col(id_col).alias("doc"), sig.alias("__sig"))
+        spread(df)
+        .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), shingle_n).alias("__sh"))
+        .select("doc", hashed_shingles(F.col("__sh")).alias("__hs"))
+        .select("doc", minhash_signature(F.col("__hs"), n_hashes).alias("__sig"))
         .select(
             "doc",
             F.explode(
@@ -150,7 +172,7 @@ def jaccard_pairs(
     pair space (at 100 TB the block key is the LSH bucket from
     ``minhash_lsh_candidates``; here any low-cardinality column works).
     """
-    base = df.select(
+    base = spread(df).select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("doc"),
         shingles(F.col(text_col), shingle_n).alias("sh"),

@@ -14,6 +14,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY if the input is under-partitioned (e.g. one small
+    parquet file → 1 task): heavy per-row column work would otherwise run
+    on a single core. At scale the input already has ≥cores partitions
+    and this is a no-op — no shuffle is added."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def broadcast_enrich(fact: DataFrame, dim: DataFrame, on: Column | str | list[str], how: str = "inner") -> DataFrame:
     """Equi-join a fact table to a small dimension with an explicit
     broadcast hint (J1-J4 are all small-side joins — SURVEY §2.5). At

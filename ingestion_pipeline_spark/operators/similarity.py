@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, normalize
-from .relational import topk, topk_per_group
+from .relational import spread, topk, topk_per_group
 
 
 def with_cosine(df: DataFrame, vec_col: str, probe: list[float], alias: str = "sim") -> Column | DataFrame:
@@ -94,14 +94,21 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 def signature_bits(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-random-projection signature as an array<int> of 0/1 bits —
-    pure column math (one dot product per plane)."""
-    bits = []
-    for plane in planes:
-        pcol = F.array(*[F.lit(float(x)) for x in plane])
-        prods = F.zip_with(vec_col, pcol, lambda x, y: x.cast("double") * y)
-        d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(d >= 0, 1).otherwise(0))
-    return F.array(*bits)
+    pure column math (one dot product per plane). The input vector is
+    bound to a lambda variable (single-element-array transform trick) so
+    any cast/normalization feeding it evaluates once, not once per
+    plane."""
+
+    def build(v: Column) -> Column:
+        bits = []
+        for plane in planes:
+            pcol = F.array(*[F.lit(float(x)) for x in plane])
+            prods = F.zip_with(v, pcol, lambda x, y: x.cast("double") * y)
+            d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+            bits.append(F.when(d >= 0, 1).otherwise(0))
+        return F.array(*bits)
+
+    return F.element_at(F.transform(F.array(vec_col), build), 1)
 
 
 def lsh_topk_join(
@@ -142,7 +149,7 @@ def lsh_topk_join(
             F.col("__band.key").alias("bkey"),
         )
 
-    c = with_bands(corpus, corpus_vec, "vec_id", "__corpus_vec")
+    c = with_bands(spread(corpus), corpus_vec, "vec_id", "__corpus_vec")
     p = with_bands(probes, probe_vec, probe_id, "__probe_vec")
     cand = (
         c.join(p, ["band", "bkey"])

@@ -903,7 +903,7 @@ def d_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Hamming-close docs share signatures).",
 )
 def d_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = dd.spread(table(spark, sf_dir, "documents"))
     return docs.select("doc_id", dd.simhash64(F.col("text")).alias("simhash"))
 
 
