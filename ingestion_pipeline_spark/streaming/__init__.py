@@ -1,0 +1,6 @@
+from .pipeline import (  # noqa: F401
+    cve_file_stream,
+    cve_kafka_stream,
+    run_dual_sink_ingest,
+)
+from .idle_stop import IdleStopListener, run_until_idle  # noqa: F401

@@ -1,0 +1,71 @@
+"""Dedup family tests on crafted near/exact duplicates."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ingestion_pipeline_spark.operators import dedup as dd
+
+BASE = "the quick brown fox jumps over the lazy dog again and again until done"
+NEAR = BASE.replace("lazy", "sleepy")  # one token differs
+OTHER = "completely different content about spark query engines and shuffles at scale"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "b1"),
+        (2, BASE, "b1"),                  # exact dup of 1
+        (3, "  The  quick brown fox jumps over the lazy dog again and again until done ", "b1"),
+        (4, NEAR, "b1"),                  # near dup
+        (5, OTHER, "b1"),
+        (6, OTHER + " extra", "b2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, block string")
+
+
+def test_exact_dup_groups(docs):
+    got = {r["canonical_id"]: r["n_copies"] for r in dd.exact_dup_groups(docs, "text", "doc_id").collect()}
+    # 1,2,3 normalize to the same content hash (case/whitespace)
+    assert got[1] == 3
+    assert got[4] == 1
+
+
+def test_shingles_and_jaccard(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(docs, "text", "doc_id", "block", threshold=0.0).collect()
+    }
+    assert pairs[(1, 2)] == 1.0                      # identical
+    assert 0.5 < pairs[(1, 4)] < 1.0                 # near dup
+    assert pairs[(1, 5)] == 0.0                      # disjoint
+    assert (5, 6) not in pairs                       # different block
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    got = {(r["id_a"], r["id_b"]) for r in dd.minhash_lsh_candidates(docs, "text", "doc_id").collect()}
+    assert (1, 2) in got            # identical always collide
+    assert (1, 3) in got            # normalization-equal
+    assert (1, 4) in got            # near dup shares most shingles
+    assert (1, 5) not in got        # unrelated documents must not collide
+
+
+def test_simhash_properties(docs):
+    sigs = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", dd.simhash64(F.col("text")).alias("s")).collect()
+    }
+    assert len(sigs[1]) == 64 and set(sigs[1]) <= {"0", "1"}
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    ham_near = sum(a != b for a, b in zip(sigs[1], sigs[4]))
+    ham_far = sum(a != b for a, b in zip(sigs[1], sigs[5]))
+    assert ham_near < ham_far, (ham_near, ham_far)
+
+
+def test_fixture_corpus_has_no_exact_dups(spark, sf_dir):
+    from ingestion_pipeline_spark.sources.parquet_tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    groups = dd.exact_dup_groups(docs, "text", "doc_id")
+    assert groups.filter(F.col("n_copies") > 1).count() == 0

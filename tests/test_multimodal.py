@@ -1,0 +1,50 @@
+"""Multimodal plumbing tests — binaryFile source, Arrow-batched feature
+extraction (decode stubbed — libs not in container), frame sampling."""
+
+from __future__ import annotations
+
+import pytest
+
+from ingestion_pipeline_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    (d / "a.img").write_bytes(b"\x89IMG" + bytes(range(200)))
+    (d / "b.img").write_bytes(b"\x89IMG" + bytes(range(100)))
+    (d / "c.vid").write_bytes(b"VID0" + bytes(range(250)) * 2)
+    return str(d)
+
+
+def test_read_media_dir_schema(spark, media_dir):
+    df = mm.read_media_dir(spark, media_dir, "image", glob="*.img")
+    rows = df.collect()
+    assert len(rows) == 2
+    assert df.columns == ["path", "modality", "content", "length"]
+    assert all(r["length"] > 0 and r["content"] is not None for r in rows)
+
+
+def test_extract_features_deterministic(spark, media_dir):
+    df = mm.read_media_dir(spark, media_dir, "image", glob="*.img")
+    a = {r["path"]: r["feature_hash"] for r in mm.extract_features(df).collect()}
+    b = {r["path"]: r["feature_hash"] for r in mm.extract_features(df).collect()}
+    assert a == b
+    assert len(set(a.values())) == 2  # distinct content → distinct features
+
+
+def test_decode_error_isolated(spark, media_dir):
+    def broken(content: bytes, modality: str) -> dict:
+        raise ValueError("corrupt")
+
+    df = mm.read_media_dir(spark, media_dir, "image", glob="*.img")
+    rows = mm.extract_features(df, decode_fn=broken).collect()
+    assert len(rows) == 2
+    assert all(r["feature_hash"] is None for r in rows)  # W7: nulls, not job failure
+
+
+def test_sample_frames(spark, media_dir):
+    vid = mm.read_media_dir(spark, media_dir, "video", glob="*.vid")
+    frames = mm.sample_frames(vid, every_nth=30).collect()
+    assert len(frames) >= 1
+    assert all(r["frame_idx"] % 30 == 0 for r in frames)
