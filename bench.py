@@ -22,6 +22,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q10_returned_revenue",
+    "q18_large_orders",
+    "w_sessionize_events",
+    "rag_context_block",
     "g_events_stats",
     "t_top3_orders_per_customer",
     "w_hourly_event_rollup",

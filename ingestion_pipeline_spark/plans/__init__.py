@@ -1,1 +1,2 @@
 from .registry import REGISTRY, QuerySpec, oracle_sql_map, query_map  # noqa: F401
+from . import registry_ext  # noqa: F401  — registers the extended inventory

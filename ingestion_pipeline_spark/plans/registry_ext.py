@@ -1,0 +1,579 @@
+"""Extended plan registry: wider TPC-H-shaped coverage, table-level set
+ops, sessionization/window analytics, RAG context aggregation (P4),
+embedding near-dup, IVF ANN. Same contract as ``registry``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.exact import exact_sum, money, one_minus
+from ..functions.vector import cosine
+from ..operators import similarity as sim
+from ..operators.relational import spread, topk_per_group
+from ..sources.parquet_tables import table
+from .registry import SQL_DISC, SQL_EXT, _disc_price, register
+
+# =======================================================================
+# q* — more TPC-H shapes
+# =======================================================================
+
+@register(
+    "q4_late_shipments",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: EXISTS decorrelated to a left-semi join by Catalyst "
+    "— no fan-out, one shuffle.",
+)
+def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "q6_revenue_delta",
+    f"""
+    SELECT CAST(SUM({SQL_EXT} * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape: pure scan-filter-aggregate; all three predicates "
+    "push to the parquet reader.",
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & F.col("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q14_promo_share",
+    f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_EXT} * {SQL_DISC} ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(SUM({SQL_EXT} * {SQL_DISC}) AS DOUBLE) AS promo_share,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+    "TPC-H Q14 shape: conditional aggregate ratio over a broadcast "
+    "dim join (part is the broadcast side).",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-07-01")))
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(_disc_price()).cast("double")
+            ).alias("promo_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_custkey, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 160
+    ORDER BY sum_qty DESC, o_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q18 shape: group-filter (HAVING) on the fact join, top-k. "
+    "Map-side partial agg shrinks the shuffle to |orders| rows.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(exact_sum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 160)
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# =======================================================================
+# g* — cube / conditional buckets
+# =======================================================================
+
+@register(
+    "g_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "Full cube over two dims — single Expand+Aggregate, no repeated scans.",
+)
+def g_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "g_priority_buckets",
+    """
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_count
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    "TPC-H Q12 shape: conditional count buckets (CASE routing, P9-style "
+    "when/otherwise).",
+)
+def g_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_count"),
+            F.count(F.when(~high, 1)).alias("low_count"),
+        )
+    )
+
+
+# =======================================================================
+# e* — table-level set operations (SURVEY §2.8 capability superset)
+# =======================================================================
+
+@register(
+    "e_sources_intersect",
+    """
+    SELECT source FROM documents WHERE lang = 'en'
+    INTERSECT
+    SELECT source FROM documents WHERE lang = 'zh'
+    """,
+    "Table-level INTERSECT (E2 at relation granularity).",
+)
+def e_sources_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("source")
+    zh = docs.filter(F.col("lang") == "zh").select("source")
+    return en.intersect(zh)
+
+
+@register(
+    "e_sources_except",
+    """
+    SELECT source FROM documents WHERE lang = 'en'
+    EXCEPT
+    SELECT source FROM documents WHERE lang = 'fr'
+    """,
+    "Table-level EXCEPT (E1 provenance difference at relation "
+    "granularity).",
+)
+def e_sources_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("source")
+    fr = docs.filter(F.col("lang") == "fr").select("source")
+    return en.subtract(fr)  # EXCEPT DISTINCT semantics
+
+
+@register(
+    "e_union_doc_sets",
+    """
+    SELECT doc_id, 'short' AS bucket FROM documents WHERE n_chars < 200
+    UNION ALL
+    SELECT doc_id, 'en' AS bucket FROM documents WHERE lang = 'en'
+    """,
+    "E3 — unionByName of two derived sets (option-list union shape, "
+    "llama-chatbot/main.py:526-528).",
+)
+def e_union_doc_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    short = docs.filter(F.col("n_chars") < 200).select("doc_id", F.lit("short").alias("bucket"))
+    en = docs.filter(F.col("lang") == "en").select("doc_id", F.lit("en").alias("bucket"))
+    return short.unionByName(en)
+
+
+# =======================================================================
+# w* — sessionization, lag/lead, moving aggregates
+# =======================================================================
+
+@register(
+    "w_sessionize_events",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 14400000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, event_id, ts_us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    "Gap-based sessionization (4 h inactivity): lag → cumulative session "
+    "id → per-session rollup. The batch formulation of streaming session "
+    "windows (W6); one shuffle on user_id, reused by both windows.",
+)
+def w_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    order_w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(order_w)
+    with_flag = ev.withColumn(
+        "new_session", F.when(gap > 4 * 3600 * 1_000_000, 1).otherwise(0)
+    )
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_session = with_flag.withColumn("session_id", F.sum("new_session").over(run_w))
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+
+@register(
+    "w_value_delta",
+    """
+    SELECT user_id, event_id,
+           CAST(CAST(value AS DECIMAL(12,2)) -
+                COALESCE(LAG(CAST(value AS DECIMAL(12,2)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS delta
+    FROM events
+    WHERE user_id < 30
+    """,
+    "Lag/lead delta per key — exact decimal subtraction.",
+)
+def w_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val = F.col("value").cast("decimal(12,2)")
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            "event_id",
+            (val - F.coalesce(F.lag(val).over(w), F.lit(0).cast("decimal(12,2)")))
+            .cast("double")
+            .alias("delta"),
+        )
+    )
+
+
+@register(
+    "w_moving_avg_value",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg
+    FROM events
+    WHERE user_id < 30
+    """,
+    "Moving average over a 4-row window (explicit sum/count so the "
+    "division is deterministic double math on both engines).",
+)
+def w_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            "event_id",
+            (
+                F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double")
+                / F.count("*").over(w)
+            ).alias("moving_avg"),
+        )
+    )
+
+
+@register(
+    "t_price_percentiles",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    "Exact interpolated percentiles per group (Spark `percentile` ≡ "
+    "DuckDB quantile_cont). At 100 TB swap to approx_percentile — the "
+    "exact form shuffles all values per group.",
+)
+def t_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        )
+    )
+
+
+# =======================================================================
+# x*/j* — explode fan-out join (J3), JSON round-trip (X6)
+# =======================================================================
+
+@register(
+    "x_explode_cve_join",
+    """
+    WITH extracted AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(
+                   'issues CVE-2024-' || CAST(1000 + doc_id AS VARCHAR)
+                   || ' CVE-2024-' || CAST(1000 + (doc_id + 1) % 500 AS VARCHAR),
+                   'CVE-\\d{4}-\\d{4,7}')) AS cve_ref
+    FROM documents
+    )
+    SELECT e.doc_id, e.cve_ref, d.source AS ref_source
+    FROM extracted e
+    JOIN documents d ON d.doc_id = CAST(substring(e.cve_ref, 10) AS BIGINT) - 1000
+    """,
+    "J3 — regex-extracted CVE ids exploded and each joined to its "
+    "record (llama-chatbot/main.py:255-266): explode → equi-join.",
+)
+def x_explode_cve_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import extract_cve_ids
+
+    docs = table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("issues CVE-2024-"),
+        (F.lit(1000) + F.col("doc_id")).cast("string"),
+        F.lit(" CVE-2024-"),
+        (F.lit(1000) + (F.col("doc_id") + 1) % 500).cast("string"),
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(extract_cve_ids(synth)).alias("cve_ref")
+    )
+    lookup = docs.select(F.col("doc_id").alias("ref_doc"), F.col("source").alias("ref_source"))
+    ref_id = F.substring(F.col("cve_ref"), 10, 100).cast("bigint") - 1000
+    return (
+        exploded.withColumn("ref_doc", ref_id)
+        .join(F.broadcast(lookup), "ref_doc")
+        .select("doc_id", "cve_ref", "ref_source")
+    )
+
+
+@register(
+    "p_json_roundtrip",
+    """
+    SELECT event_id,
+           '{"k":' || COALESCE(json_extract_string(props, '$.k'), '0') || '}' AS rebuilt
+    FROM events
+    WHERE event_type = 'click'
+    """,
+    "X6 — json parse → typed → re-serialize (json.loads/dumps round "
+    "trip, processor.py:52).",
+)
+def p_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.extract import jget_str
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    k = jget_str("props", "$.k", "0").cast("long")
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct(k.alias("k"))).alias("rebuilt"),
+    )
+
+
+# =======================================================================
+# rag — the §3.2 retrieve→join→context pipeline as one plan (P4)
+# =======================================================================
+
+@register(
+    "rag_context_block",
+    """
+    WITH ranked AS (
+        SELECT e.vec_id,
+               ROUND(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(p.embedding AS DOUBLE[])) AS DOUBLE), 6) AS sim
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+        WHERE e.vec_id <> 0
+        ORDER BY sim DESC, e.vec_id
+        LIMIT 5
+    )
+    SELECT string_agg('- CVE ID: ' || CAST(d.doc_id AS VARCHAR) || ' | ' || substring(d.text, 1, 60),
+                      chr(10) ORDER BY r.sim DESC, d.doc_id) AS context,
+           COUNT(*) AS n_docs
+    FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
+    """,
+    "SURVEY §3.2 relational core: cosine top-k → point-lookup join (J1) "
+    "→ ordered context-string aggregation (P4, "
+    "chatbot/llama_index_chatbot.py:70-73). One plan: scan → project → "
+    "TakeOrdered → broadcast join → agg.",
+)
+def rag_context_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import _probe
+
+    emb = table(spark, sf_dir, "embeddings")
+    hits = sim.brute_force_topk(emb, "embedding", _probe(spark, sf_dir), k=5, exclude_id=0)
+    docs = table(spark, sf_dir, "documents")
+    joined = hits.join(F.broadcast(docs), hits.vec_id == docs.doc_id).select(
+        "doc_id",
+        "sim",
+        F.concat(
+            F.lit("- CVE ID: "),
+            F.col("doc_id").cast("string"),
+            F.lit(" | "),
+            F.substring("text", 1, 60),
+        ).alias("line"),
+    )
+    # order-deterministic string agg: collect (neg-sim, doc_id, line)
+    # structs, sort, project, join — the Spark equivalent of
+    # string_agg(... ORDER BY).
+    sortable = F.struct((-F.col("sim")).alias("neg_sim"), F.col("doc_id").alias("doc_id"), F.col("line").alias("line"))
+    return joined.agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(sortable)), lambda s: s.getField("line")),
+            "\n",
+        ).alias("context"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# =======================================================================
+# d*/v* — embedding near-dup + IVF ANN
+# =======================================================================
+
+@register(
+    "d_embedding_near_dups",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT id_a, id_b, sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6) AS sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE sim >= 0.3
+    """,
+    "Embedding-cosine near-dup pairs within label blocks (the dedup "
+    "family's semantic variant). At 100 TB the label block is an LSH/IVF "
+    "bucket so the pair space stays bounded.",
+)
+def d_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "label", "embedding")
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("sim") >= 0.3)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+@register(
+    "v_ivf_topk",
+    None,  # approximate — recall asserted in pytest vs exact kNN
+    "IVF-style ANN: 16 seed centroids (vec_id 0-15), corpus assigned to "
+    "nearest centroid (broadcast argmax — no shuffle), probe searches "
+    "its 4 nearest clusters only. The scale path when LSH recall is "
+    "insufficient: cluster assignment is write-time work, queries scan "
+    "|corpus|·n_probe/n_clusters rows.",
+)
+def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..functions.vector import dot
+    from .registry import _probe
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    centroid_rows = (
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+
+    def l2norm(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else v
+
+    # centroids pre-normalized driver-side: argmax over plain dot
+    # products ≡ argmax over cosine (positive scaling), so the executor
+    # computes 16 dots — a FLAT array expression, no nested when-chains
+    # (a 16-deep when-chain of cosine trees blows up plan analysis).
+    centroids = [l2norm([float(x) for x in r["embedding"]]) for r in centroid_rows]
+    dots = F.array(
+        *[dot(F.col("embedding"), F.array(*[F.lit(x) for x in c])) for c in centroids]
+    )
+    probe = _probe(spark, sf_dir)
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        return sum(x * y for x, y in zip(l2norm(a), l2norm(b)))
+
+    keep = sorted(range(16), key=lambda i: -cos_py(probe, centroids[i]))[:4]
+    probe_col = F.array(*[F.lit(x) for x in probe])
+    assigned = (
+        emb.withColumn("__dots", dots)
+        .withColumn("cluster", (F.array_position(F.col("__dots"), F.array_max("__dots")) - 1).cast("int"))
+    )
+    return (
+        assigned.filter(F.col("cluster").isin(keep) & (F.col("vec_id") != 0))
+        .withColumn("sim", F.round(cosine(F.col("embedding"), probe_col), 6))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(8)
+        .select("vec_id", "cluster", "sim")
+    )

@@ -88,6 +88,18 @@ def test_lsh_recall_against_exact(spark, sf_dir, emb_np):
     assert recall >= 0.3, f"LSH recall {recall:.2f} too low"
 
 
+def test_ivf_topk_recall(spark, sf_dir, emb_np):
+    """IVF ANN recall vs exact top-8 for the standard probe (vec_id 0):
+    searching 4/16 clusters must retain most of the true neighbors."""
+    from ingestion_pipeline_spark.plans import query_map
+
+    ids, mat = emb_np
+    got = {r["vec_id"] for r in query_map()["v_ivf_topk"](spark, sf_dir).collect()}
+    exact = {vid for vid, _ in _np_topk(ids, mat, mat[0], 8, exclude_id=0)}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
 def test_normalize_unit_norm(spark, sf_dir):
     from ingestion_pipeline_spark.functions.vector import norm, normalize
 
