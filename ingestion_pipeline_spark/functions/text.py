@@ -44,10 +44,10 @@ def token_count(col: Column) -> Column:
 
 
 def bpe_ish_token_count(col: Column) -> Column:
-    """Approximate BPE token count: split on word/number/punct boundaries
-    (a GPT-2-style pre-tokenizer regex, simplified to RE2-safe form)."""
-    pieces = F.split(col, r"(?:\s+)|(?=[^\w\s])")
-    return F.size(F.filter(pieces, lambda t: t != F.lit("")))
+    """Approximate BPE token count: number of word-or-punctuation tokens
+    (a GPT-2-style pre-tokenizer simplified to an RE2-safe alternation —
+    no lookaheads, so the same pattern runs on any engine)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"\w+|[^\w\s]"), 0))
 
 
 def truncate(col: Column, n: int = 200) -> Column:

@@ -577,3 +577,105 @@ def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(8)
         .select("vec_id", "cluster", "sim")
     )
+
+
+# =======================================================================
+# tx* — text-analysis family as oracle-checked queries
+# =======================================================================
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+_LANG_HITS = {
+    lang: f"len(list_filter({_TOKS}, t -> list_contains({markers!r}, t)))"
+    for lang, markers in sorted(
+        __import__("ingestion_pipeline_spark.functions.text", fromlist=["LANG_MARKERS"]).LANG_MARKERS.items()
+    )
+}
+
+
+@register(
+    "tx_langid",
+    f"""
+    WITH hits AS (
+        SELECT doc_id, lang AS true_lang,
+               {', '.join(f'{expr} AS h_{lang}' for lang, expr in _LANG_HITS.items())}
+        FROM documents
+    )
+    SELECT doc_id, true_lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                ELSE 'zh' END AS predicted_lang
+    FROM hits
+    """,
+    "Marker-lexicon language ID (argmax over per-language stopword hits; "
+    "ties break to the alphabetically-first language, matching the "
+    "Spark fold). Real deployments swap a model UDF with this column "
+    "signature.",
+)
+def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import langid
+
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        langid(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "tx_quality_scores",
+    f"""
+    WITH parts AS (
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               len(list_filter({_TOKS},
+                   t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))
+                 AS n_stop,
+               length(text) AS n_chars_raw,
+               length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(LEAST(1.0, GREATEST(0.0,
+               LEAST(1.0, n_tokens / 100.0) * 0.4
+             + LEAST(1.0, (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 5.0) * 0.3
+             + GREATEST(0.0, 1.0 - (CASE WHEN n_chars_raw > 0
+                                         THEN CAST(n_chars_raw - n_nopunct AS DOUBLE) / n_chars_raw
+                                         ELSE 0.0 END) * 4.0) * 0.3)), 6) AS quality
+    FROM parts
+    """,
+    "Composite document-quality heuristic (length/stopword/punctuation "
+    "blend, clamped [0,1]) — the text-quality scoring stage of a "
+    "training-data pipeline; all JVM-side column math.",
+)
+def tx_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score
+
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+@register(
+    "tx_token_counts",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_words,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_ish,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+    "Token counting: whitespace words + BPE-ish word/punct tokens "
+    "(RE2-safe GPT-2-style pre-tokenizer) + char length.",
+)
+def tx_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import bpe_ish_token_count, token_count
+
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_words"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+        F.length("text").alias("n_chars_actual"),
+    )
