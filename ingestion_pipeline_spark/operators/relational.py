@@ -63,6 +63,66 @@ def latest_per_key(df: DataFrame, key: str, ts_order: Sequence[Column]) -> DataF
     return topk_per_group(df, [key], ts_order, 1).drop("rank")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach ``right_cols``
+    from the right row with the greatest ``ts`` <= left.``ts`` within the
+    same ``on`` key (inclusive — a right row at the exact left timestamp
+    matches, like DuckDB/kdb ASOF semantics).
+
+    Scale design: NOT a range cross-join. Both sides are tagged and
+    unioned, then a single window (partitionBy key, orderBy ts) carries
+    each right value forward with ``last(..., ignorenulls)``. Exactly one
+    shuffle on the key, linear scan per partition — survives 100 TB the
+    same way a sort-merge join does; skewed keys are split by AQE.
+
+    Ordering guarantee: at equal ``ts`` the right row sorts before the
+    left row (tag 0 < 1), so an exact-timestamp match is visible.
+    Callers wanting deterministic output under duplicate right (key, ts)
+    pairs should pre-dedupe the right side.
+    """
+    on = list(on)
+    right_cols = list(right_cols)
+    lcols = [c for c in left.columns]
+    rsel = right.select(
+        *on,
+        F.col(ts).alias("__asof_ord"),
+        F.lit(0).alias("__asof_tag"),
+        *[F.col(c).alias(f"__asofv_{c}") for c in right_cols],
+    )
+    lsel = left.select(
+        *lcols,
+        F.col(ts).alias("__asof_ord"),
+        F.lit(1).alias("__asof_tag"),
+    )
+    # Align schemas: null placeholders for the other side's columns.
+    for c in right_cols:
+        lsel = lsel.withColumn(f"__asofv_{c}", F.lit(None).cast(rsel.schema[f"__asofv_{c}"].dataType))
+    for c in lcols:
+        if c not in on:
+            rsel = rsel.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = lsel.unionByName(rsel.select(*lsel.columns))
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__asof_ord", "__asof_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        F.col("__asof_tag"),
+        *[
+            F.last(F.col(f"__asofv_{c}"), ignorenulls=True).over(w).alias(f"{c}_asof")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__asof_tag") == 1).drop("__asof_tag")
+
+
 def running_total(
     df: DataFrame, partition_by: str, order_by: Sequence[Column], value: Column, alias: str
 ) -> DataFrame:

@@ -1,2 +1,3 @@
 from .registry import REGISTRY, QuerySpec, oracle_sql_map, query_map  # noqa: F401
 from . import registry_ext  # noqa: F401  — registers the extended inventory
+from . import registry_ext2  # noqa: F401  — as-of join, multimodal, fingerprints
