@@ -20,6 +20,7 @@ Strategy selection for scale (SURVEY §4 item 1):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,6 +93,53 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return planes
 
 
+def signature_bits_np(planes: list[list[float]]):
+    """Arrow-vectorized sign-LSH signature: one BLAS matmul per batch
+    (rows × dim @ dim × planes) instead of n_planes interpreted
+    higher-order-function folds per row. At 100 TB this is the hot path
+    — dense float math belongs in numpy, not per-element Catalyst
+    lambdas (HOFs are CodegenFallback: interpreted per element)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    plane_mat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (mat @ plane_mat >= 0).astype(np.int32)
+        return pd.Series(list(bits))
+
+    return sig
+
+
+def assign_nearest_np(centroids: list[list[float]]):
+    """Arrow-vectorized IVF cluster assignment: argmax of (rows × dim @
+    dim × n_centroids) per batch. Centroids should be pre-normalized so
+    dot ≡ cosine up to positive scale. Same rationale as
+    ``signature_bits_np``: one BLAS call replaces n_centroids
+    interpreted fold expressions per row."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    cent_mat = np.asarray(centroids, dtype=np.float64).T  # (dim, n)
+
+    @pandas_udf(IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(mat @ cent_mat, axis=1).astype("int32"))
+
+    return nearest
+
+
 def signature_bits(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-random-projection signature as an array<int> of 0/1 bits —
     pure column math (one dot product per plane). The input vector is
@@ -131,8 +179,10 @@ def lsh_topk_join(
     planes = random_hyperplanes(dim, n_planes, seed)
     per_band = n_planes // n_bands
 
+    sig_udf = signature_bits_np(planes)
+
     def with_bands(df: DataFrame, vec: str, id_alias: str, vec_alias: str) -> DataFrame:
-        out = df.withColumn("__sig", signature_bits(F.col(vec), planes))
+        out = df.withColumn("__sig", sig_udf(F.col(vec)))
         bands = F.array(
             *[
                 F.struct(
@@ -149,7 +199,12 @@ def lsh_topk_join(
             F.col("__band.key").alias("bkey"),
         )
 
-    c = with_bands(spread(corpus), corpus_vec, "vec_id", "__corpus_vec")
+    # min_partitions=8 (not full parallelism): the signature stage is a
+    # pandas UDF, and each partition spins up / pins a Python worker —
+    # 32 workers for a few hundred rows is pure startup overhead. On a
+    # real corpus the input already has >8 partitions and spread() is a
+    # no-op, so this caps nothing at scale.
+    c = with_bands(spread(corpus, min_partitions=8), corpus_vec, "vec_id", "__corpus_vec")
     p = with_bands(probes, probe_vec, probe_id, "__probe_vec")
     cand = (
         c.join(p, ["band", "bkey"])

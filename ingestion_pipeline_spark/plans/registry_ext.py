@@ -539,10 +539,9 @@ def d_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    from ..functions.vector import dot
     from .registry import _probe
 
-    emb = spread(table(spark, sf_dir, "embeddings"))
+    emb = spread(table(spark, sf_dir, "embeddings"), min_partitions=8)
     centroid_rows = (
         emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").orderBy("vec_id").collect()
     )
@@ -552,13 +551,11 @@ def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return [x / n for x in v] if n > 0 else v
 
     # centroids pre-normalized driver-side: argmax over plain dot
-    # products ≡ argmax over cosine (positive scaling), so the executor
-    # computes 16 dots — a FLAT array expression, no nested when-chains
-    # (a 16-deep when-chain of cosine trees blows up plan analysis).
+    # products ≡ argmax over cosine (positive scaling). Assignment is an
+    # Arrow-vectorized argmax (one BLAS matmul per batch) — 16 per-row
+    # interpreted fold expressions would be the slow path.
     centroids = [l2norm([float(x) for x in r["embedding"]]) for r in centroid_rows]
-    dots = F.array(
-        *[dot(F.col("embedding"), F.array(*[F.lit(x) for x in c])) for c in centroids]
-    )
+    nearest = sim.assign_nearest_np(centroids)
     probe = _probe(spark, sf_dir)
 
     def cos_py(a: list[float], b: list[float]) -> float:
@@ -566,10 +563,7 @@ def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     keep = sorted(range(16), key=lambda i: -cos_py(probe, centroids[i]))[:4]
     probe_col = F.array(*[F.lit(x) for x in probe])
-    assigned = (
-        emb.withColumn("__dots", dots)
-        .withColumn("cluster", (F.array_position(F.col("__dots"), F.array_max("__dots")) - 1).cast("int"))
-    )
+    assigned = emb.withColumn("cluster", nearest(F.col("embedding")))
     return (
         assigned.filter(F.col("cluster").isin(keep) & (F.col("vec_id") != 0))
         .withColumn("sim", F.round(cosine(F.col("embedding"), probe_col), 6))
