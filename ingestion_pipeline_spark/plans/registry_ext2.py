@@ -134,3 +134,52 @@ def tx_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min(grams).alias("kgram_min_fp"),
         )
     )
+
+
+@register(
+    "w_session_window_rollup",
+    """
+    WITH ord AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ord
+    )
+    SELECT user_id,
+           MIN(epoch_us(ts)) AS session_start_us,
+           MAX(epoch_us(ts)) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    "Native session_window rollup (30-min gap): the streaming builder's "
+    "exact plan run in batch — under readStream the same groupBy gets "
+    "state-store session merging + watermark cleanup. Oracle replays "
+    "Spark's half-open [start, last+gap) semantics via a gap-islands "
+    "window (new session when diff >= gap).",
+)
+def w_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import exact_sum
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "total_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -4,3 +4,8 @@ from .pipeline import (  # noqa: F401
     run_dual_sink_ingest,
 )
 from .idle_stop import IdleStopListener, run_until_idle  # noqa: F401
+from .windows import (  # noqa: F401
+    session_window_rollup,
+    stateful_user_totals,
+    windowed_event_counts,
+)
