@@ -1,3 +1,4 @@
 from .registry import REGISTRY, QuerySpec, oracle_sql_map, query_map  # noqa: F401
 from . import registry_ext  # noqa: F401  — registers the extended inventory
 from . import registry_ext2  # noqa: F401  — as-of join, multimodal, fingerprints
+from . import registry_ext3  # noqa: F401  — Q7/Q15/Q19, P3/P9, md5-minhash
