@@ -37,6 +37,13 @@ HEADLINE = [
     "d_exact_dup_groups",
     "d_minhash_lsh_candidates",
     "s_confidence_scores",
+    "q7_nation_trade",
+    "j_asof_click_before_purchase",
+    "w_session_window_rollup",
+    "tx_langid",
+    "tx_fingerprints",
+    "mm_media_features",
+    "rag_answer_end_to_end",
 ]
 
 

@@ -121,6 +121,34 @@ def langid(col: Column) -> Column:
     return best_lang
 
 
+def langid_join(df, text_col: str = "text", id_col: str = "doc_id", alias: str = "predicted_lang"):
+    """Scale-path language ID with IDENTICAL semantics to ``langid``
+    (argmax marker hits, alphabetical tie-break, 'und' on zero hits),
+    but as explode → broadcast lexicon join → count → per-doc argmax.
+    Everything stays in whole-stage codegen (no interpreted HOF per
+    language), and the lexicon can grow to thousands of markers per
+    language without widening the plan — the column-fold variant adds
+    an expression per language, this adds rows to a broadcast table."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    marker_rows = [(m, lang) for lang in sorted(LANG_MARKERS) for m in LANG_MARKERS[lang]]
+    lexicon = spark.createDataFrame(marker_rows, "tok string, lang string")
+    toks = df.select(id_col, F.explode(word_tokens(F.lower(F.col(text_col)))).alias("tok"))
+    hits = (
+        toks.join(F.broadcast(lexicon), "tok")
+        .groupBy(id_col, "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("lang").asc())
+    best = (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("lang").alias(alias))
+    )
+    return df.join(best, id_col, "left").withColumn(alias, F.coalesce(F.col(alias), F.lit("und")))
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: 64-bit hash of normalized text (lowercased,
     whitespace-collapsed). Exact-dup key at any scale (xxhash64 is the

@@ -609,12 +609,13 @@ _LANG_HITS = {
     "signature.",
 )
 def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import langid
+    from ..functions.text import langid_join
 
-    return table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.col("lang").alias("true_lang"),
-        langid(F.col("text")).alias("predicted_lang"),
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang"), "text"
+    )
+    return langid_join(docs, "text", "doc_id").select(
+        "doc_id", "true_lang", "predicted_lang"
     )
 
 

@@ -249,3 +249,67 @@ def d_minhash_md5_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", shingles(F.col("text"), 3).alias("__sh")).select(
         "doc_id", *[mh(i) for i in range(8)]
     )
+
+
+@register(
+    "rag_answer_end_to_end",
+    """
+    WITH ranked AS (
+        SELECT e.vec_id,
+               ROUND(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(p.embedding AS DOUBLE[])) AS DOUBLE), 6) AS sim
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+        WHERE e.vec_id <> 0
+        ORDER BY sim DESC, e.vec_id
+        LIMIT 5
+    ), ctx AS (
+        SELECT string_agg('- CVE ID: ' || CAST(d.doc_id AS VARCHAR) || ' | ' || substring(d.text, 1, 60),
+                          chr(10) ORDER BY r.sim DESC, d.doc_id) AS context,
+               COUNT(*) AS n_docs
+        FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
+    )
+    SELECT n_docs,
+           'ANSWER[' || substring('Context:' || chr(10) || context || chr(10) ||
+                                  'Question: What are the top CVEs?', 1, 40) || ']' AS answer
+    FROM ctx
+    """,
+    "V7 — the full conversational-retrieval composition (SURVEY §3.2: "
+    "retrieve V3 → context P4 → prompt template → LLM V6) in ONE plan, "
+    "with the REAL batched llm_udf pandas UDF on the hot path (its "
+    "deterministic offline fake is replayed by the oracle; wiring a "
+    "live chat API swaps one injectable function, not the plan).",
+)
+def rag_answer_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.embed import llm_udf
+    from ..operators import similarity as sim
+    from .registry import _probe
+
+    emb = table(spark, sf_dir, "embeddings")
+    hits = sim.brute_force_topk(emb, "embedding", _probe(spark, sf_dir), k=5, exclude_id=0)
+    docs = table(spark, sf_dir, "documents")
+    ctx = (
+        hits.join(F.broadcast(docs), hits.vec_id == docs.doc_id)
+        .select(
+            "sim",
+            "doc_id",
+            F.concat(
+                F.lit("- CVE ID: "),
+                F.col("doc_id").cast("string"),
+                F.lit(" | "),
+                F.substring("text", 1, 60),
+            ).alias("line"),
+        )
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.array_sort(
+                    F.collect_list(F.struct(F.negate(F.col("sim")).alias("o"), "doc_id", "line"))
+                ).getField("line"),
+            ).alias("context"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+    prompt = F.format_string(
+        "Context:\n%s\nQuestion: %s", F.col("context"), F.lit("What are the top CVEs?")
+    )
+    return ctx.select("n_docs", llm_udf()(prompt).alias("answer"))
