@@ -1,0 +1,81 @@
+"""Property-based spot checks (SURVEY §5 item 5): top-k invariants,
+provenance symmetry, salted-join equivalence — hypothesis generates the
+adversarial inputs, Spark evaluates on small in-memory frames."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    sims=st.lists(st.floats(min_value=-1, max_value=1, allow_nan=False), min_size=1, max_size=30),
+    k=st.integers(min_value=1, max_value=8),
+    threshold=st.floats(min_value=-1, max_value=1, allow_nan=False),
+)
+@SLOW
+def test_threshold_topk_invariants(spark, sims, k, threshold):
+    """Every returned sim >= threshold and |result| <= k, for any data."""
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(sims)], "id long, sim double")
+    out = (
+        df.filter(F.col("sim") >= threshold)
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(k)
+        .collect()
+    )
+    assert len(out) <= k
+    assert all(r["sim"] >= threshold for r in out)
+    # result is the true top slice: nothing excluded is strictly better
+    kept = {r["id"] for r in out}
+    excluded_best = max(
+        (s for i, s in enumerate(sims) if i not in kept and s >= threshold), default=None
+    )
+    if excluded_best is not None and len(out) < k:
+        raise AssertionError("eligible row left out of an unfilled top-k")
+
+
+def _phrases(text: str) -> set[str]:
+    return {p.strip() for p in text.lower().split(".") if p.strip()}
+
+
+@given(
+    resp=st.text(alphabet="abC .", max_size=30),
+    ctx=st.text(alphabet="abC .", max_size=30),
+)
+@SLOW
+def test_rag_verdict_provenance_cases(spark, resp, ctx):
+    """E1 (llama-chatbot/eval.py:16-30): FP iff some response phrase is
+    absent from the context phrase set; FN iff some context phrase is
+    absent from the response; TP otherwise."""
+    from ingestion_pipeline_spark.functions.scoring import rag_verdict
+
+    df = spark.createDataFrame([(resp, ctx)], "resp string, ctx string")
+    verdict = df.select(rag_verdict(F.col("resp"), F.col("ctx")).alias("v")).first()["v"]
+    rp, cp = _phrases(resp), _phrases(ctx)
+    expected = "FP" if rp - cp else ("FN" if cp - rp else "TP")
+    assert verdict == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=25
+    )
+)
+@SLOW
+def test_salted_join_row_multiplicity(spark, rows):
+    """Salting never changes join cardinality, for any key distribution
+    (including every-row-same-key, the skew case it exists for)."""
+    from ingestion_pipeline_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame([(k, v) for k, v in rows], "k long, v long")
+    right = spark.createDataFrame([(k, k * 10) for k in range(3)], "k long, r long")
+    plain = left.join(right, "k").count()
+    salted = salted_join(left, right, "k", n_salts=4).count()
+    assert plain == salted
