@@ -1,0 +1,82 @@
+"""Physical-plan audit: .explain() every registry query and flag
+anti-scale patterns. Usage:
+
+    python tools/audit_plans.py [sf_dir]
+
+Checks per query:
+- CartesianProduct / BroadcastNestedLoopJoin without an allowlist entry
+  (intended only where a probe/1-row side is broadcast by design);
+- parquet scans that read every column of a wide table (projection
+  should prune);
+- single-shuffle sanity: counts Exchange nodes so a regression that
+  doubles shuffles is visible in review diffs.
+
+Exit 1 on any unexpected flag — wired for CI use.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# Queries where a nested-loop/cross join is the intended plan: the
+# broadcast side is a probe set or 1-row aggregate by construction.
+NLJ_ALLOWED = {
+    "v_cosine_top8",       # 1-row probe vector broadcast
+    "v_threshold_search",  # same
+    "v_knn_join",          # tiny probe table cross-joined by design
+    "rag_context_block",   # 1-row probe
+    "rag_answer_end_to_end",
+    "q15_top_supplier",    # 1-row max-revenue broadcast equality join
+    "entry",
+}
+
+# Wide tables where reading every column indicates missing pruning.
+WIDE = {"lineitem": 10, "orders": 6, "events": 6}
+
+
+def main() -> int:
+    from ingestion_pipeline_spark.plans import query_map
+    from ingestion_pipeline_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("audit-plans")
+    failures: list[str] = []
+
+    for name, fn in sorted(query_map().items()):
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: explain failed: {e}")
+            continue
+
+        flags: list[str] = []
+        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and name not in NLJ_ALLOWED:
+            flags.append("unexpected cross/NLJ join")
+        for line in plan.splitlines():
+            if "FileScan parquet" not in line:
+                continue
+            cols = re.search(r"FileScan parquet \[([^\]]*)\]", line)
+            tbl = re.search(r"/(\w+)\.parquet", line)
+            if not cols or not tbl:
+                continue
+            ncols = cols.group(1).count(",") + 1 if cols.group(1) else 0
+            name_t = tbl.group(1)
+            if name_t in WIDE and ncols >= WIDE[name_t]:
+                flags.append(f"unpruned scan of {name_t} ({ncols} cols)")
+        n_exchanges = plan.count("Exchange")
+        status = "FLAG" if flags else "ok"
+        print(f"{status:4} {name}: exchanges={n_exchanges}"
+              + (f" — {'; '.join(flags)}" if flags else ""))
+        if flags:
+            failures.append(f"{name}: {'; '.join(flags)}")
+
+    print(f"\n{len(failures)} flagged" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
