@@ -1,0 +1,47 @@
+"""Sink-layer tests (K1/K3 + the F6 partition-pruning contract): the
+warehouse layout must let a date-range query prune to the touched
+months — the scan's PartitionFilters, not a post-scan filter, carries
+the predicate."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from ingestion_pipeline_spark.sinks import append_parquet, warehouse_append
+
+
+def _warehouse_rows(spark):
+    rows = [
+        (f"CVE-2024-{i}", datetime(2024, 1 + i % 6, 3), datetime(2024, 1 + i % 6, 2), "{}")
+        for i in range(60)
+    ]
+    return spark.createDataFrame(
+        rows, "cve_id string, date_updated timestamp, date_published timestamp, data string"
+    )
+
+
+def test_warehouse_partitioned_by_month_and_prunes(spark, tmp_path):
+    path = str(tmp_path / "warehouse")
+    warehouse_append(_warehouse_rows(spark), path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 60
+    assert "pub_month" in back.columns
+
+    pruned = back.filter(F.col("pub_month") == "2024-03")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "pub_month" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert pruned.count() == 10
+
+
+def test_append_is_additive_and_schema_stable(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    append_parquet(df, path)
+    append_parquet(df, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    assert set(back.columns) == {"id", "v"}
