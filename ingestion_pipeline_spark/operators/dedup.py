@@ -18,6 +18,7 @@ Python UDFs, so every stage is codegen'd and shuffle-bound only.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -86,6 +87,83 @@ def minhash_signature(hashed_col: Column, n_hashes: int = 32) -> Column:
     return F.array(*mins)
 
 
+def minhash_signature_np(n_hashes: int = 32):
+    """Arrow-vectorized MinHash: per batch, one (n_hashes × n_shingles)
+    splitmix64 mix + row-min in numpy instead of n_hashes interpreted
+    HOF passes per row (HOFs are CodegenFallback). Same algebra as
+    ``minhash_signature`` — min over n independent permutations of the
+    shingle-hash set — with a different (still deterministic) hash
+    family, so banding probabilities are identical. The md5 expression
+    variant stays the oracle-verified reference implementation."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    seeds = np.arange(1, n_hashes + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    c1, c2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(shingle_hashes: pd.Series) -> pd.Series:
+        out = []
+        for arr in shingle_hashes:
+            if arr is None or len(arr) == 0:
+                # parity with the expression variant: per-seed nulls
+                # (array_min of an empty array), not a null array
+                out.append([None] * n_hashes)
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            m = h[None, :] ^ seeds[:, None]
+            m = (m ^ (m >> np.uint64(30))) * c1
+            m = (m ^ (m >> np.uint64(27))) * c2
+            m = m ^ (m >> np.uint64(31))
+            out.append(m.min(axis=1).astype(np.int64))
+        return pd.Series(out, dtype=object)
+
+    return sig
+
+
+def minhash_bands(df: DataFrame, n_hashes: int = 32, n_bands: int = 16):
+    """(doc, hashed-shingles) → (doc, band, bucket) rows via ONE
+    mapInPandas crossing: the minhash mins AND the band fan-out happen
+    in numpy — no Generate node, so no Python-UDF-inside-generator
+    restriction, and the n_bands-way row expansion costs one Arrow
+    batch instead of an explode over a UDF column. Expects columns
+    ``doc`` and ``__hs`` (array<bigint>)."""
+    import numpy as np
+    from typing import Iterator
+
+    seeds = np.arange(1, n_hashes + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    c1, c2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
+    rows_per_band = n_hashes // n_bands
+
+    def mix(m):
+        m = (m ^ (m >> np.uint64(30))) * c1
+        m = (m ^ (m >> np.uint64(27))) * c2
+        return m ^ (m >> np.uint64(31))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs, bands, buckets = [], [], []
+            for doc, arr in zip(pdf["doc"], pdf["__hs"]):
+                if arr is None or len(arr) == 0:
+                    mins = np.zeros(n_hashes, dtype=np.uint64)  # empty docs all collide
+                else:
+                    h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+                    mins = mix(h[None, :] ^ seeds[:, None]).min(axis=1)
+                # fold each band's row-mins into one bucket hash
+                bk = mins.reshape(n_bands, rows_per_band)
+                acc = np.full(n_bands, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+                for r in range(rows_per_band):
+                    acc = mix(acc ^ bk[:, r])
+                docs.extend([doc] * n_bands)
+                bands.extend(range(n_bands))
+                buckets.extend(acc.astype(np.int64))
+            yield pd.DataFrame({"doc": docs, "band": bands, "bucket": buckets})
+
+    return df.mapInPandas(run, "doc long, band int, bucket long")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -101,28 +179,15 @@ def minhash_lsh_candidates(
     self-equi-join on (band, bucket-hash) → distinct pairs. The join key
     is a hash bucket, so this scales as a normal shuffle join; no cross
     product exists anywhere in the plan."""
-    rows = n_hashes // n_bands
-    banded = (
-        spread(df)
+    hashed = (
+        # min_partitions=8: the signature stage is a pandas UDF — each
+        # partition pins a Python worker (see similarity.lsh_topk_join);
+        # no-op on properly-partitioned inputs at scale.
+        spread(df, min_partitions=8)
         .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), shingle_n).alias("__sh"))
         .select("doc", hashed_shingles(F.col("__sh")).alias("__hs"))
-        .select("doc", minhash_signature(F.col("__hs"), n_hashes).alias("__sig"))
-        .select(
-            "doc",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(F.concat_ws(",", F.slice(F.col("__sig"), b * rows + 1, rows))).alias("bucket"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bb"),
-        )
-        .select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
+    banded = minhash_bands(hashed, n_hashes, n_bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
