@@ -313,3 +313,55 @@ def rag_answer_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Context:\n%s\nQuestion: %s", F.col("context"), F.lit("What are the top CVEs?")
     )
     return ctx.select("n_docs", llm_udf()(prompt).alias("answer"))
+
+
+_SIMHASH_VALS = f"""
+    list_transform({_SQL_SHINGLES},
+        s -> (instr('0123456789abcdef', md5(s)[1:1]) - 1) * 4096
+           + (instr('0123456789abcdef', md5(s)[2:2]) - 1) * 256
+           + (instr('0123456789abcdef', md5(s)[3:3]) - 1) * 16
+           + (instr('0123456789abcdef', md5(s)[4:4]) - 1))
+"""
+_SIMHASH_BITS = ", ".join(
+    f"CASE WHEN COALESCE(list_sum(list_transform(vals, v -> CASE WHEN (v >> {i}) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0 THEN '1' ELSE '0' END"
+    for i in range(16)
+)
+
+
+@register(
+    "d_simhash16_portable",
+    f"""
+    WITH sv AS (SELECT doc_id, {_SIMHASH_VALS} AS vals FROM documents)
+    SELECT doc_id, concat({_SIMHASH_BITS}) AS simhash16
+    FROM sv
+    """,
+    "Portable 16-bit SimHash (md5-derived shingle values, per-bit "
+    "±1 vote, sign → bit), value-verified by the oracle — upgrades the "
+    "SimHash family's core math from rows-only to hash-checked. "
+    "Production uses the 64-bit xxhash64 variant "
+    "(operators/dedup.py:simhash64) — identical algebra, 4× the bits.",
+)
+def d_simhash16_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    vals = F.transform(
+        F.col("__sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("int"),
+    )
+
+    def bit(i: int):
+        def vote(acc, v):
+            return acc + F.when(
+                F.shiftright(v, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return F.when(
+            F.aggregate(F.col("__vals"), F.lit(0), vote) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+
+    return (
+        docs.select("doc_id", shingles(F.col("text"), 3).alias("__sh"))
+        .select("doc_id", vals.alias("__vals"))
+        .select("doc_id", F.concat(*[bit(i) for i in range(16)]).alias("simhash16"))
+    )
