@@ -25,11 +25,13 @@ from pyspark.sql.types import ArrayType, FloatType
 from pyspark.sql.functions import pandas_udf
 
 
-def hashing_embedder(dim: int = 64) -> Callable[[pd.Series], pd.Series]:
+def hashing_embedder(dim: int = 64, normalize: bool = True) -> Callable[[pd.Series], pd.Series]:
     """Deterministic, dependency-free text embedder: token hashing into
     ``dim`` buckets with +/-1 signs (the classic hashing trick), then
     L2 normalization. Stable across runs/machines — the test stand-in
-    for ada-002/MiniLM (V1/V2)."""
+    for ada-002/MiniLM (V1/V2). ``normalize=False`` keeps the raw
+    integer bucket counts (used by the oracle-verified gate query —
+    integer space compares exactly across engines)."""
 
     def embed_series(texts: pd.Series) -> pd.Series:
         out = []
@@ -38,6 +40,9 @@ def hashing_embedder(dim: int = 64) -> Callable[[pd.Series], pd.Series]:
             for tok in str(text or "").lower().split():
                 h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")  # noqa: S324
                 vec[h % dim] += 1.0 if (h >> 63) & 1 == 0 else -1.0
+            if not normalize:
+                out.append(vec)
+                continue
             norm = math.sqrt(sum(v * v for v in vec))
             out.append([v / norm for v in vec] if norm > 0 else vec)
         return pd.Series(out)

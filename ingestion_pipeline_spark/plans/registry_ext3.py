@@ -365,3 +365,59 @@ def d_simhash16_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", vals.alias("__vals"))
         .select("doc_id", F.concat(*[bit(i) for i in range(16)]).alias("simhash16"))
     )
+
+
+@register(
+    "v_embed_hashing_check",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h
+        FROM toks
+    ), vec AS (
+        SELECT doc_id, CAST(h % 16 AS INT) AS b,
+               SUM(CASE WHEN h >> 63 = 0 THEN 1 ELSE -1 END) AS v
+        FROM hashed GROUP BY doc_id, b
+    ), agg AS (
+        SELECT doc_id,
+               CAST(SUM(v * v) AS BIGINT) AS sumsq,
+               CAST(COUNT(CASE WHEN v <> 0 THEN 1 END) AS BIGINT) AS nnz,
+               CAST(COALESCE(SUM(CASE WHEN b = 0 THEN v END), 0) AS BIGINT) AS v0,
+               CAST(COALESCE(SUM(CASE WHEN b = 1 THEN v END), 0) AS BIGINT) AS v1
+        FROM vec GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.sumsq, 0) AS sumsq,
+           COALESCE(a.nnz, 0) AS nnz,
+           COALESCE(a.v0, 0) AS v0,
+           COALESCE(a.v1, 0) AS v1
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    "V1/V2 — the REAL Arrow-batched embedding UDF (hashing-trick "
+    "embedder, dim=16, un-normalized) verified in integer space: the "
+    "oracle independently re-derives every bucket count from "
+    "md5-uint64 token hashes. Verifies the exact UDF math a model "
+    "swap would replace — the plumbing (batching, array<float> "
+    "column, schema) is identical for ada-002/MiniLM.",
+)
+def v_embed_hashing_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.embed import embedding_udf, hashing_embedder
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    udf = embedding_udf(hashing_embedder(dim=16, normalize=False), dim=16)
+    vec_int = F.transform(F.col("__vec"), lambda v: v.cast("long"))
+    return (
+        docs.select("doc_id", udf(F.col("text")).alias("__vec"))
+        .select("doc_id", vec_int.alias("__vi"))
+        .select(
+            "doc_id",
+            F.aggregate(F.col("__vi"), F.lit(0).cast("long"), lambda a, v: a + v * v).alias("sumsq"),
+            F.size(F.filter(F.col("__vi"), lambda v: v != 0)).cast("long").alias("nnz"),
+            F.element_at(F.col("__vi"), 1).alias("v0"),
+            F.element_at(F.col("__vi"), 2).alias("v1"),
+        )
+    )
