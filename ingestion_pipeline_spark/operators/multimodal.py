@@ -95,12 +95,12 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for path, modality, content in zip(pdf["path"], pdf["modality"], pdf["content"]):
                 try:
-                    feats = decode_fn(row["content"], row["modality"])
+                    feats = decode_fn(content, modality)
                 except Exception:  # noqa: BLE001 — corrupt media never fails the job
                     feats = {"width": None, "height": None, "n_frames": None, "feature_hash": None}
-                rows.append({"path": row["path"], "modality": row["modality"], **feats})
+                rows.append({"path": path, "modality": modality, **feats})
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return media.mapInPandas(run, FEATURE_SCHEMA)

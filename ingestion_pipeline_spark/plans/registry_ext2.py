@@ -83,7 +83,9 @@ def j_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle replays the deterministic fake codec in SQL.",
 )
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(table(spark, sf_dir, "documents"))
+    # min_partitions=8: Python-worker stage — 32-way fan-out on a tiny
+    # input pays ~24 extra worker cold-starts; no-op at real scale.
+    docs = spread(table(spark, sf_dir, "documents"), min_partitions=8)
     media = docs.select(
         F.concat(F.lit("mem://doc/"), F.col("doc_id").cast("string")).alias("path"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("image"))

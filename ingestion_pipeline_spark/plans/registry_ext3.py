@@ -407,7 +407,8 @@ def d_simhash16_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v_embed_hashing_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.embed import embedding_udf, hashing_embedder
 
-    docs = spread(table(spark, sf_dir, "documents"))
+    # min_partitions=8: pandas-UDF stage (see mm_media_features note).
+    docs = spread(table(spark, sf_dir, "documents"), min_partitions=8)
     udf = embedding_udf(hashing_embedder(dim=16, normalize=False), dim=16)
     vec_int = F.transform(F.col("__vec"), lambda v: v.cast("long"))
     return (
