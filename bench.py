@@ -44,6 +44,12 @@ HEADLINE = [
     "tx_fingerprints",
     "mm_media_features",
     "rag_answer_end_to_end",
+    "q9_nation_profit",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q21_sole_blocking_supplier",
+    "g_grouping_sets_revenue",
+    "j_price_band_join",
 ]
 
 

@@ -1,0 +1,362 @@
+"""Fifth registry tranche: the subquery-heavy TPC-H shapes — correlated
+scalar subqueries (Q2/Q17), scalar-subquery HAVING (Q11), market-share
+ratio (Q8), multi-join profit rollup (Q9), conditional two-level counts
+(Q12), outer-join count distribution (Q13), NOT-IN anti-join with
+COUNT(DISTINCT) (Q16).
+
+The reference has no subquery machinery at all (its "queries" are Python
+call graphs — SURVEY §3); these entries demonstrate that the engine's
+declarative surface covers the full decorrelation space Catalyst
+handles: every correlated subquery below is expressed as a join/window
+in the Spark plan and as a true correlated subquery in the DuckDB
+oracle, and the value hashes must still agree.
+
+Scale notes are in each entry's docstring; the common theme is that
+scalar subqueries become broadcast scalars (one extra tiny stage, no
+per-row work) and correlated aggregates become a co-partitioned
+self-join on the correlation key (one shuffle pair, AQE-skew-safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.exact import dec, money, one_minus
+from ..sources.parquet_tables import table
+from .registry import SQL_DISC, SQL_EXT, _disc_price, register
+
+
+@register(
+    "q2_cheapest_part_per_type",
+    """
+    SELECT p.p_type, p.p_partkey, p.p_name,
+           CAST(p.p_retailprice AS DOUBLE) AS price
+    FROM part p
+    WHERE p.p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_type = p.p_type)
+    """,
+    "TPC-H Q2 core shape: correlated scalar MIN subquery (cheapest part "
+    "per type; the fixture has no partsupp table so the correlation key "
+    "is p_type). Spark expresses it as a window MIN over the correlation "
+    "key + equality filter — one shuffle on p_type, no join, and ties "
+    "are kept exactly like the SQL form keeps them.",
+)
+def q2_cheapest_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        part.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select(
+            "p_type",
+            "p_partkey",
+            "p_name",
+            F.col("p_retailprice").cast("double").alias("price"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(COALESCE(SUM(CASE WHEN nation = 'NATION_5' THEN volume END), 0) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               {SQL_EXT} * {SQL_DISC} AS volume,
+               n2.n_name AS nation
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    "TPC-H Q8 shape: market share of one supplier nation inside one "
+    "customer region, per year — conditional decimal SUM over a 7-way "
+    "join divided by the unconditional SUM. All dimensions broadcast; "
+    "the only shuffle pair is orders×lineitem; the share division runs "
+    "on two exact decimal sums cast to double, so it is "
+    "partitioning-independent.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _disc_price()
+    joined = (
+        li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("nation"),
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume"))),
+                F.lit(0),
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q9_nation_profit",
+    f"""
+    SELECT n_name AS nation, EXTRACT(year FROM l_shipdate) AS o_year,
+           CAST(SUM({SQL_EXT} * {SQL_DISC}) AS DOUBLE) AS profit,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, EXTRACT(year FROM l_shipdate)
+    """,
+    "TPC-H Q9 shape: per-(supplier-nation, year) profit for parts whose "
+    "name matches a substring (no partsupp in the fixture, so profit = "
+    "discounted revenue). part is the only mid-size join side — it still "
+    "broadcasts at sf0.1; at 100 TB the LIKE filter cuts it ~1/25 first, "
+    "keeping it broadcastable. supplier+nation broadcast trivially.",
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q11_top_brand_value",
+    f"""
+    SELECT p_brand, CAST(SUM({SQL_EXT} * {SQL_DISC}) AS DOUBLE) AS brand_value
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    GROUP BY p_brand
+    HAVING SUM({SQL_EXT} * {SQL_DISC}) >
+           (SELECT SUM({SQL_EXT} * {SQL_DISC}) * CAST(0.04 AS DECIMAL(3,2))
+            FROM part JOIN lineitem ON p_partkey = l_partkey)
+    """,
+    "TPC-H Q11 shape: HAVING against an uncorrelated scalar subquery "
+    "(brands worth >4% of total traded value; correlation base is "
+    "part×lineitem since the fixture has no partsupp). Spark computes "
+    "the scalar with a 1-row aggregate and broadcast-cross-joins it — "
+    "the comparison happens in exact decimal space on both engines, so "
+    "the knife-edge threshold is still deterministic.",
+)
+def q11_top_brand_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    per_brand = joined.groupBy("p_brand").agg(
+        F.sum(_disc_price()).alias("brand_value_dec")
+    )
+    total = joined.agg(
+        (F.sum(_disc_price()) * F.lit(0.04).cast("decimal(3,2)")).alias("threshold")
+    )
+    return (
+        per_brand.join(F.broadcast(total))
+        .filter(F.col("brand_value_dec") > F.col("threshold"))
+        .select("p_brand", F.col("brand_value_dec").cast("double").alias("brand_value"))
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+    "TPC-H Q12 shape: two-level conditional counts (urgent vs not) per "
+    "group over the orders×lineitem join (the fixture has no l_shipmode, "
+    "so the group key is l_returnflag). Counts are integers — exact "
+    "under any partitioning; the date filter pushes to the parquet scan.",
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    "TPC-H Q13 shape: distribution of per-customer order counts via a "
+    "left outer join with a residual predicate (COUNT(col) counts only "
+    "matches, so no-order customers land in bucket 0). First groupBy "
+    "shuffles on c_custkey; the second input is |customers| rows and the "
+    "distribution fits in a single reducer at any scale.",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q16_supplier_count_by_part",
+    """
+    SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+    "TPC-H Q16 shape: COUNT(DISTINCT supplier) per (brand, size) with a "
+    "NOT-IN supplier blacklist (negative account balance stands in for "
+    "the complaint predicate). Spark turns NOT IN on a non-null key into "
+    "a broadcast anti-join; count-distinct runs as a two-phase "
+    "partial/final aggregate — no extra shuffle beyond the group keys.",
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    blacklist = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(blacklist), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    f"""
+    SELECT CAST(SUM({SQL_EXT.replace('l_extendedprice', 'l1.l_extendedprice')}) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l1.l_quantity <
+          (SELECT (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) * 0.5
+           FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+    "TPC-H Q17 shape: revenue from below-half-average-quantity orders of "
+    "one brand — a correlated AVG subquery on the part key. Spark "
+    "decorrelates it by hand the same way Catalyst would: aggregate "
+    "lineitem per part (restricted to the brand's parts first — a "
+    "pushdown the SQL optimizer also finds), then join back on "
+    "l_partkey. The threshold is sum(decimal)/count * 0.5 evaluated in "
+    "double — bit-identical on both engines because both operands are "
+    "exact.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part3 = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_lines = li.join(
+        F.broadcast(part3), F.col("p_partkey") == F.col("l_partkey")
+    )
+    thresholds = brand_lines.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity"))
+            * F.lit(0.5)
+        ).alias("qty_threshold")
+    )
+    return (
+        brand_lines.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -30,6 +30,9 @@ NLJ_ALLOWED = {
     "rag_context_block",   # 1-row probe
     "rag_answer_end_to_end",
     "q15_top_supplier",    # 1-row max-revenue broadcast equality join
+    "q11_top_brand_value",   # 1-row total-value threshold broadcast
+    "q22_rich_quiet_customers",  # 1-row average-balance broadcast
+    "j_price_band_join",   # 6-row band table: broadcast NLJ is the plan
     "entry",
 }
 
