@@ -50,6 +50,8 @@ HEADLINE = [
     "q21_sole_blocking_supplier",
     "g_grouping_sets_revenue",
     "j_price_band_join",
+    "d_dup_clusters",
+    "g_sketch_aggregates",
 ]
 
 
