@@ -5,3 +5,4 @@ from . import registry_ext3  # noqa: F401  — Q7/Q15/Q19, P3/P9, md5-minhash
 from . import registry_ext4  # noqa: F401  — correlated/scalar subquery TPC-H shapes
 from . import registry_ext5  # noqa: F401  — quantified subqueries, pivot, grouping sets, rank family, band join
 from . import registry_ext6  # noqa: F401  — dup-cluster connected components, sketch aggregates
+from . import registry_ext7  # noqa: F401  — interval join, sliding windows
