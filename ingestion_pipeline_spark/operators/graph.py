@@ -49,6 +49,10 @@ def connected_components(
     """
     fwd = edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
     sym = fwd.union(fwd.select(F.col("m").alias("n"), F.col("n").alias("m")))
+    # Materialize the (possibly expensive) edge derivation ONCE — every
+    # round joins against sym, and without this cut the full upstream
+    # plan (e.g. the Jaccard shingle self-join) re-executes per round.
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select("n").distinct().withColumn("label", F.col("n"))
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).first()[0]

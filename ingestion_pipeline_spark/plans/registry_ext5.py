@@ -80,11 +80,16 @@ def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "TPC-H Q21 shape: the only supplier whose lines were returned on a "
     "finished multi-supplier order (l_returnflag='R' stands in for the "
-    "missing receipt/commit dates). EXISTS → left-semi join, NOT EXISTS "
-    "→ left-anti join, both equi on l_orderkey with a residual "
-    "l_suppkey<>l_suppkey predicate — Spark keeps the equi key so both "
-    "run as shuffled hash joins co-partitioned with the probe, not "
-    "nested loops.",
+    "missing receipt/commit dates). The oracle keeps the literal "
+    "EXISTS / NOT EXISTS form; the Spark plan uses the aggregate "
+    "rewrite — per order, count distinct suppliers and distinct "
+    "R-flag suppliers, then a row qualifies iff the order has >1 "
+    "supplier and exactly one R-supplier (necessarily l1's own, since "
+    "l1 itself has flag R). One aggregation pass + one co-partitioned "
+    "join instead of semi+anti self-joins: lineitem is shuffled twice "
+    "on l_orderkey (and AQE coalesces the exchanges) rather than three "
+    "times, which at 100 TB is the difference between 2 and 3 "
+    "fact-table shuffles.",
 )
 def q21_sole_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
@@ -95,27 +100,21 @@ def q21_sole_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
+    # collect_set (not count_distinct x2): two distinct aggregates would
+    # plan an Expand that doubles every lineitem row before the shuffle;
+    # per-order supplier sets are tiny and merge map-side.
+    per_order = li.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey")))
+        ).alias("n_r_supp"),
+    )
     l1 = li.filter(F.col("l_returnflag") == "R").join(
         orders_f, F.col("o_orderkey") == F.col("l_orderkey")
-    ).drop("o_orderkey")
-    l2 = li.select(
-        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
     )
-    with_other = l1.join(
-        l2,
-        (F.col("l2_orderkey") == F.col("l_orderkey"))
-        & (F.col("l2_suppkey") != F.col("l_suppkey")),
-        "left_semi",
-    )
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
-    )
-    sole = with_other.join(
-        l3,
-        (F.col("l3_orderkey") == F.col("l_orderkey"))
-        & (F.col("l3_suppkey") != F.col("l_suppkey")),
-        "left_anti",
-    )
+    sole = l1.join(
+        per_order, F.col("g_orderkey") == F.col("l_orderkey")
+    ).filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         sole.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))

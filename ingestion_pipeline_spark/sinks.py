@@ -44,3 +44,29 @@ def quarantine_append(df: DataFrame, path: str, reason: str) -> None:
     and never fail the pipeline (processor.py:65-66 log-and-continue)."""
     out = df.withColumn("reason", F.lit(reason)).withColumn("quarantined_at", F.current_timestamp())
     append_parquet(out, path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key.
+
+    The 100 TB lever for repeated fact-fact joins: two tables bucketed
+    into the same bucket count on the join key are co-located, so the
+    join (and any groupBy on the key) needs NO exchange — Spark reads
+    matching buckets pairwise and, when ``sort_col`` is the key, skips
+    the sort as well. Shuffle cost is paid once at write time and
+    amortized over every downstream join (`tests/test_scale.py` asserts
+    the exchange-free plan).
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    if path:  # external table (bucketing metadata still lands in the catalog)
+        w = w.option("path", path)
+    w.saveAsTable(name)
