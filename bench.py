@@ -52,6 +52,8 @@ HEADLINE = [
     "j_price_band_join",
     "d_dup_clusters",
     "g_sketch_aggregates",
+    "tx_redact_pii",
+    "v_label_centroids",
 ]
 
 

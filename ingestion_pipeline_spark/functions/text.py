@@ -161,3 +161,27 @@ def content_md5(col: Column) -> Column:
     """Portable content hash (md5 hex) — matches any SQL oracle."""
     normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
     return F.md5(normalized)
+
+
+# ---- PII redaction (training-data hygiene pass) -----------------------
+
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_REGEX = r"\+1-555-[0-9]+"
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub emails then phone numbers to typed placeholders — the
+    standard pre-training hygiene pass. Pure nested regexp_replace:
+    JVM-side, codegen'd, order fixed (emails first) so the output is
+    deterministic."""
+    out = F.regexp_replace(col, EMAIL_REGEX, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_REGEX, "<PHONE>")
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in a text column — audit metric
+    emitted alongside redaction."""
+    return (
+        F.regexp_count(col, F.lit(EMAIL_REGEX)).cast("long"),
+        F.regexp_count(col, F.lit(PHONE_REGEX)).cast("long"),
+    )

@@ -6,3 +6,4 @@ from . import registry_ext4  # noqa: F401  — correlated/scalar subquery TPC-H 
 from . import registry_ext5  # noqa: F401  — quantified subqueries, pivot, grouping sets, rank family, band join
 from . import registry_ext6  # noqa: F401  — dup-cluster connected components, sketch aggregates
 from . import registry_ext7  # noqa: F401  — interval join, sliding windows
+from . import registry_ext8  # noqa: F401  — PII redaction, label centroids, python data source
