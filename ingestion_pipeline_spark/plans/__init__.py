@@ -7,3 +7,4 @@ from . import registry_ext5  # noqa: F401  — quantified subqueries, pivot, gro
 from . import registry_ext6  # noqa: F401  — dup-cluster connected components, sketch aggregates
 from . import registry_ext7  # noqa: F401  — interval join, sliding windows
 from . import registry_ext8  # noqa: F401  — PII redaction, label centroids, python data source
+from . import registry_ext9  # noqa: F401  — range-frame windows, applyInPandas top-k

@@ -1,0 +1,93 @@
+"""Tenth registry tranche: range-frame (time-interval) windows and the
+batch ``applyInPandas`` extension point, both under the value-hash gate.
+
+Range frames complete the window surface (rows-frames, rank family,
+lag/lead, session and sliding windows are covered by earlier tranches).
+The applyInPandas entry deliberately computes something with an exact
+SQL equivalent (per-group top-k with deterministic tie-break) so the
+Arrow per-group path itself — grouping, batch handoff, schema mapping —
+is what gets verified, not a lucky approximation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.exact import dec
+from ..operators.relational import spread
+from ..sources.parquet_tables import table
+from .registry import register
+
+
+@register(
+    "w_trailing_hour_value",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS trailing_value,
+           COUNT(*) OVER w AS n_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    "Time-interval (RANGE) window frame: per user, the trailing-hour "
+    "sum of event values — ordered by physical time, not row position, "
+    "so simultaneous events are peers on both engines. One shuffle on "
+    "user_id; the frame is evaluated with a sliding two-pointer pass "
+    "inside Spark's window operator. Decimal sums keep the distributed "
+    "reduction exact.",
+)
+def w_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.sum(dec("value")).over(w).cast("double").alias("trailing_value"),
+        F.count("*").over(w).alias("n_trailing"),
+    )
+
+
+_TOPK_SCHEMA = "c_mktsegment string, o_orderkey bigint, o_totalprice double, rk int"
+
+
+def _top3_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(3)
+    out = out.assign(rk=range(1, len(out) + 1))
+    return out[["c_mktsegment", "o_orderkey", "o_totalprice", "rk"]]
+
+
+@register(
+    "t_topk_per_group_pandas",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        FROM orders JOIN customer ON c_custkey = o_custkey
+    ) WHERE rk <= 3
+    """,
+    "The batch applyInPandas extension point (SURVEY §2.12) verified "
+    "value-exactly: per-market-segment top-3 orders with deterministic "
+    "tie-break, computed by a per-group Arrow-batched pandas function "
+    "and compared against the window-function oracle. This is the "
+    "surface custom per-group Python logic plugs into; for pure top-k "
+    "prefer the built-in window (operators/relational.py:topk_per_group "
+    "— JVM-side, no Python crossing).",
+)
+def t_topk_per_group_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return joined.groupBy("c_mktsegment").applyInPandas(_top3_pandas, _TOPK_SCHEMA)

@@ -46,6 +46,47 @@ def quarantine_append(df: DataFrame, path: str, reason: str) -> None:
     append_parquet(out, path)
 
 
+def warehouse_upsert(
+    spark,
+    batch: DataFrame,
+    path: str,
+    key: str = "cve_id",
+    version_col: str = "date_updated",
+) -> None:
+    """K1 upgraded from blind append to MERGE semantics: latest record
+    per key wins (the reference re-INSERTs every delta record —
+    `processor.py:55-62` — and leaves duplicate cve_ids for readers to
+    sort out; delta dumps re-deliver updated CVEs, so keep-latest by
+    date_updated is the intended semantics).
+
+    Implementation: union existing + batch, keep the max-``version_col``
+    row per key (deterministic tie-break on the key itself), rewrite.
+    The read side is materialized eagerly before the overwrite so the
+    job never reads the files it is deleting. At warehouse scale this
+    rewrite touches only the partitions present in the batch when the
+    table is month-partitioned (warehouse_append's layout) — pair with
+    dynamic partition overwrite; table formats with native MERGE
+    (Delta/Iceberg) slot in behind the same function signature.
+    """
+    from pyspark.sql.window import Window
+
+    try:
+        existing = spark.read.parquet(path).select(*batch.columns)
+    except Exception:  # first write — no table yet
+        existing = None
+    merged = batch if existing is None else existing.unionByName(batch)
+    w = Window.partitionBy(key).orderBy(
+        F.col(version_col).desc(), F.col(key)
+    )
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)  # cut source files loose pre-overwrite
+    )
+    latest.write.mode("overwrite").parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,

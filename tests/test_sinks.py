@@ -45,3 +45,36 @@ def test_append_is_additive_and_schema_stable(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 2
     assert set(back.columns) == {"id", "v"}
+
+
+def test_warehouse_upsert_keeps_latest_per_key(spark, tmp_path):
+    from ingestion_pipeline_spark.sinks import warehouse_upsert
+
+    path = str(tmp_path / "upsert_wh")
+    schema = "cve_id string, date_updated timestamp, date_published timestamp, data string"
+    v1 = spark.createDataFrame(
+        [
+            ("CVE-2024-1", datetime(2024, 1, 10), datetime(2024, 1, 1), '{"v":1}'),
+            ("CVE-2024-2", datetime(2024, 1, 11), datetime(2024, 1, 2), '{"v":1}'),
+        ],
+        schema,
+    )
+    warehouse_upsert(spark, v1, path)
+    assert spark.read.parquet(path).count() == 2
+
+    # redelivery of CVE-2024-1 with a NEWER version + one stale replay
+    v2 = spark.createDataFrame(
+        [
+            ("CVE-2024-1", datetime(2024, 2, 20), datetime(2024, 1, 1), '{"v":2}'),
+            ("CVE-2024-2", datetime(2024, 1, 1), datetime(2024, 1, 2), '{"v":0}'),
+            ("CVE-2024-3", datetime(2024, 3, 1), datetime(2024, 2, 5), '{"v":1}'),
+        ],
+        schema,
+    )
+    warehouse_upsert(spark, v2, path)
+    back = {r["cve_id"]: r["data"] for r in spark.read.parquet(path).collect()}
+    assert back == {
+        "CVE-2024-1": '{"v":2}',   # newer version won
+        "CVE-2024-2": '{"v":1}',   # stale replay lost
+        "CVE-2024-3": '{"v":1}',   # new key inserted
+    }
