@@ -54,6 +54,7 @@ HEADLINE = [
     "g_sketch_aggregates",
     "tx_redact_pii",
     "v_label_centroids",
+    "pipeline_corpus_prep",
 ]
 
 

@@ -121,3 +121,85 @@ def sample_frames(media: DataFrame, every_nth: int = 30) -> DataFrame:
             ),
         )
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("thumbnail", BinaryType()),
+        StructField("src_hash", LongType()),
+    ]
+)
+
+
+def fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resampler: emits a byte string
+    derived from (content hash, target dims) with length w*h//256+16 —
+    shape-realistic without an image library. REPLACE with
+    PIL.Image.resize via ``resize_fn``."""
+    h = 0
+    for b in (content or b"")[:1024]:
+        h = (h * 1099511628211 + b) & 0x7FFFFFFFFFFFFFFF
+    seed = (h ^ (width << 16) ^ height) & 0xFFFFFFFF
+    n = max(width * height // 256, 1) + 16
+    return bytes((seed * 31 + i) % 256 for i in range(n))
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    resize_fn: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Thumbnail/resize pass over image rows — the standard vision-model
+    preprocessing step. Same mapInPandas shape as extract_features:
+    Arrow-batched, corrupt records degrade to a null thumbnail (W7),
+    binaries stay on executors. Output keeps a source-content hash so
+    downstream joins don't need the original bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    thumb = resize_fn(content, width, height)
+                    h = 0
+                    for b in (content or b"")[:1024]:
+                        h = (h * 1099511628211 + b) & 0x7FFFFFFFFFFFFFFF
+                    rows.append(
+                        {"path": path, "out_width": width, "out_height": height,
+                         "thumbnail": thumb, "src_hash": h}
+                    )
+                except Exception:  # noqa: BLE001
+                    rows.append(
+                        {"path": path, "out_width": width, "out_height": height,
+                         "thumbnail": None, "src_hash": None}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.filter(F.col("modality") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def chunk_audio(media: DataFrame, chunk_ms: int = 10_000, bytes_per_ms: int = 32) -> DataFrame:
+    """Audio chunking plumbing: one row per fixed-duration chunk with
+    byte offsets — the split step before per-chunk transcription or
+    embedding. Column-side explode over a computed chunk count (duration
+    inferred from byte length at a nominal bitrate; a real decoder
+    replaces the arithmetic, the explode shape is unchanged)."""
+    chunk_bytes = chunk_ms * bytes_per_ms
+    audio = media.filter(F.col("modality") == "audio")
+    n_chunks = F.greatest(
+        F.ceil(F.col("length") / F.lit(chunk_bytes)).cast("int"), F.lit(1)
+    )
+    return audio.select(
+        "path",
+        F.col("length"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        "path",
+        "chunk_idx",
+        (F.col("chunk_idx") * chunk_bytes).alias("byte_start"),
+        F.least(((F.col("chunk_idx") + 1) * chunk_bytes), F.col("length")).alias("byte_end"),
+    )

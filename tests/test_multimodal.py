@@ -48,3 +48,33 @@ def test_sample_frames(spark, media_dir):
     frames = mm.sample_frames(vid, every_nth=30).collect()
     assert len(frames) >= 1
     assert all(r["frame_idx"] % 30 == 0 for r in frames)
+
+
+def test_resize_images_deterministic_and_isolated(spark, media_dir):
+    media = mm.read_media_dir(spark, media_dir, "image", glob="*.img")
+    out = mm.resize_images(media, width=64, height=64).collect()
+    assert len(out) == 2
+    by_path = {r["path"]: r for r in out}
+    for r in out:
+        assert r["out_width"] == 64 and r["out_height"] == 64
+        assert r["thumbnail"] is not None
+        assert len(r["thumbnail"]) == 64 * 64 // 256 + 16
+    # deterministic: same inputs -> same thumbnails
+    again = {r["path"]: r["thumbnail"] for r in mm.resize_images(
+        media, width=64, height=64).collect()}
+    assert all(bytes(again[p]) == bytes(by_path[p]["thumbnail"]) for p in again)
+
+    def broken(content, w, h):
+        raise ValueError("corrupt")
+
+    degraded = mm.resize_images(media, resize_fn=broken).collect()
+    assert all(r["thumbnail"] is None for r in degraded)  # W7: no job failure
+
+
+def test_chunk_audio_offsets(spark, media_dir):
+    media = mm.read_media_dir(spark, media_dir, "audio", glob="c.vid")
+    # length 504 bytes; 100-byte chunks -> 6 chunks, last one short
+    chunks = mm.chunk_audio(media, chunk_ms=100, bytes_per_ms=1).collect()
+    assert [c["chunk_idx"] for c in chunks] == list(range(6))
+    assert chunks[0]["byte_start"] == 0 and chunks[0]["byte_end"] == 100
+    assert chunks[-1]["byte_start"] == 500 and chunks[-1]["byte_end"] == 504
