@@ -79,3 +79,45 @@ def test_salted_join_row_multiplicity(spark, rows):
     plain = left.join(right, "k").count()
     salted = salted_join(left, right, "k", n_salts=4).count()
     assert plain == salted
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    from ingestion_pipeline_spark.operators.graph import connected_components
+
+    # reference: plain union-find with min-label canonicalization
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    expected = {}
+    for node in parent:
+        root = find(node)
+        expected.setdefault(root, []).append(node)
+    want = {
+        n: min(members)
+        for members in expected.values()
+        for n in members
+    }
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["n"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
