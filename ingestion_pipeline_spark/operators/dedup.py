@@ -258,3 +258,43 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_novel(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental ingestion dedup: rows of ``batch`` with no exact and
+    no near duplicate in ``corpus``. Exact = anti-join on normalized
+    content md5 (uniform digest key, broadcastable when the batch's
+    hash set is small). Near = blocked Jaccard join batch x corpus —
+    cost O(batch x block-bucket), independent of archive size; at scale
+    ``block_col`` is the MinHash-LSH bucket. Returns the surviving
+    batch rows with their original columns."""
+    b = batch.withColumn("_chash", content_md5(F.col(text_col)))
+    c_hashes = corpus.select(content_md5(F.col(text_col)).alias("_chash")).distinct()
+    exact_novel = b.join(c_hashes, "_chash", "left_anti")
+
+    b_sh = exact_novel.select(
+        F.col(id_col).alias("_bid"),
+        F.col(block_col).alias("_bblock"),
+        shingles(F.col(text_col), shingle_n).alias("_bsh"),
+    )
+    c_sh = corpus.select(
+        F.col(block_col).alias("_cblock"),
+        shingles(F.col(text_col), shingle_n).alias("_csh"),
+    )
+    inter = F.size(F.array_intersect(F.col("_bsh"), F.col("_csh")))
+    union = F.size(F.col("_bsh")) + F.size(F.col("_csh")) - inter
+    near_ids = (
+        b_sh.join(c_sh, F.col("_bblock") == F.col("_cblock"))
+        .filter(inter.cast("double") / union >= threshold)
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+    )
+    return exact_novel.join(near_ids, id_col, "left_anti").drop("_chash")

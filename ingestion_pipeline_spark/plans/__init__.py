@@ -9,3 +9,4 @@ from . import registry_ext7  # noqa: F401  — interval join, sliding windows
 from . import registry_ext8  # noqa: F401  — PII redaction, label centroids, python data source
 from . import registry_ext9  # noqa: F401  — range-frame windows, applyInPandas top-k
 from . import registry_ext10  # noqa: F401  — corpus-prep pipeline composite
+from . import registry_ext11  # noqa: F401  — incremental dedup, unpivot
