@@ -10,3 +10,4 @@ from . import registry_ext8  # noqa: F401  — PII redaction, label centroids, p
 from . import registry_ext9  # noqa: F401  — range-frame windows, applyInPandas top-k
 from . import registry_ext10  # noqa: F401  — corpus-prep pipeline composite
 from . import registry_ext11  # noqa: F401  — incremental dedup, unpivot
+from . import registry_ext12  # noqa: F401  — posexplode, map ops, multiset set ops
