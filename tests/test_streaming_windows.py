@@ -107,3 +107,49 @@ def test_stateful_user_totals_accumulates_across_batches(spark, tmp_path):
     }
     assert final[1] == (3, 6.0)
     assert final[2] == (2, 9.0)
+
+
+def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
+    """W6 late-data semantics: once the watermark passes a window's end,
+    rows for that window are dropped, and append mode emits the
+    finalized window WITHOUT them."""
+    src = tmp_path / "late_ev"
+    src.mkdir()
+
+    def write(name, event_id, ts, value):
+        rec = {"event_id": event_id, "ts": ts, "user_id": 1,
+               "event_type": "click", "value": value}
+        (src / name).write_text(json.dumps(rec))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 10)
+        .json(str(src))
+    )
+    counts = windowed_event_counts(stream, window_len="1 hour", watermark="10 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # batch 1: one row in the 10:00 window + a 12:00 row that drags
+        # the watermark to 11:50
+        write("b1a.json", 1, "2024-03-01T10:05:00", 1.0)
+        write("b1b.json", 2, "2024-03-01T12:00:00", 1.0)
+        q.processAllAvailable()
+        # batch 2: a LATE row for the already-closed 10:00 window
+        # (end 11:00 < watermark 11:50) + a fresh row to trigger work
+        write("b2a.json", 3, "2024-03-01T10:10:00", 100.0)
+        write("b2b.json", 4, "2024-03-01T12:05:00", 1.0)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = {
+        r["window_start"].hour: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM late_counts").collect()
+    }
+    # the 10:00 window finalized with ONLY the on-time row
+    assert emitted[10] == (1, 1.0)
