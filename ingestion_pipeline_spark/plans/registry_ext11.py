@@ -102,3 +102,38 @@ def g_unpivot_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@register(
+    "d_dataset_split",
+    """
+    SELECT doc_id, source,
+           CASE WHEN b < 52429 THEN 'train'
+                WHEN b < 58983 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(b2 < 4096 AS INT) AS in_1of16_sample
+    FROM (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS b,
+               CAST(('0x' || substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS b2
+        FROM documents
+    )
+    """,
+    "Deterministic dataset-split assignment + content-hash downsampling "
+    "(functions/sampling.py): train/val/test from contiguous md5-bucket "
+    "ranges (80/10/10) and a 1-in-16 stable sample flag. Selection is a "
+    "pure function of the key — same row, same split, on any engine, "
+    "under any partitioning (Spark's seeded sample() is "
+    "partitioning-dependent and unusable for lineage). Shuffle-free: "
+    "both predicates evaluate inside the scan projection.",
+)
+def d_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sampling import dataset_split, deterministic_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        dataset_split(F.col("doc_id")).alias("split"),
+        deterministic_sample(F.col("doc_id"), 1 / 16).cast("int").alias("in_1of16_sample"),
+    )

@@ -72,3 +72,29 @@ def test_sketch_aggregates_accuracy(spark, sf_dir):
         assert abs(a_users - users) / users <= 0.05
         spread_ref = max(abs(p50), 1e-9)
         assert abs(a_p50 - p50) / spread_ref <= 0.05
+
+
+def test_dataset_split_stable_under_repartitioning(spark, sf_dir):
+    from ingestion_pipeline_spark.functions.sampling import (
+        dataset_split,
+        deterministic_sample,
+    )
+    from ingestion_pipeline_spark.sources.parquet_tables import table
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in docs.select(
+        "doc_id", dataset_split(F.col("doc_id")).alias("split")).collect()}
+    b = {r["doc_id"]: r["split"] for r in docs.repartition(13).select(
+        "doc_id", dataset_split(F.col("doc_id")).alias("split")).collect()}
+    assert a == b  # partitioning-independent (sample()/sampleBy() are not)
+
+    n = len(a)
+    from collections import Counter
+    frac = {k: v / n for k, v in Counter(a.values()).items()}
+    assert 0.7 <= frac["train"] <= 0.9
+    assert 0.04 <= frac.get("val", 0) <= 0.18
+    assert 0.04 <= frac.get("test", 0) <= 0.18
+
+    kept = docs.filter(deterministic_sample(F.col("doc_id"), 0.25)).count()
+    assert 0.15 <= kept / n <= 0.35
