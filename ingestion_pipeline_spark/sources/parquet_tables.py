@@ -52,3 +52,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """SQL entry point: expose every table as a temp view so users can
+    run plain ``spark.sql`` against the warehouse (same Catalyst plans
+    as the DataFrame API — one optimizer, two front ends)."""
+    for n, df in tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

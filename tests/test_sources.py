@@ -109,3 +109,31 @@ def test_embedding_udf_deterministic(spark):
     assert len(rows[0]["embedding"]) == 32
     norm = sum(v * v for v in rows[0]["embedding"]) ** 0.5
     assert abs(norm - 1.0) < 1e-5
+
+
+def test_sql_entry_matches_dataframe_api(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ingestion_pipeline_spark.sources.parquet_tables import register_views, table
+
+    register_views(spark, sf_dir, "orders", "customer")
+    via_sql = spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+        """
+    ).collect()
+    via_df = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert {(r["c_mktsegment"], r["n"]) for r in via_sql} == {
+        (r["c_mktsegment"], r["n"]) for r in via_df
+    }

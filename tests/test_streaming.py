@@ -125,3 +125,50 @@ def test_idle_stop_terminates_unbounded_query(spark, stream_dirs):
     run_until_idle(spark, q, inactivity_timeout=5.0, max_wait=90.0)
     assert not q.isActive
     assert spark.read.parquet(stream_dirs["warehouse"]).count() == 5
+
+
+def test_streaming_ingest_with_upsert_sink_collapses_redeliveries(spark, tmp_path):
+    """foreachBatch + warehouse_upsert: the streaming ingest path with
+    MERGE semantics — replayed/updated CVE records collapse to the
+    latest version instead of duplicating (the reference re-INSERTs,
+    processor.py:55-62)."""
+    import json as _json
+
+    from ingestion_pipeline_spark.sinks import warehouse_upsert
+
+    src = tmp_path / "cve_stream"
+    src.mkdir()
+    out = str(tmp_path / "warehouse")
+
+    def rec(cve_id, updated, v):
+        return _json.dumps(
+            {"cve_id": cve_id, "date_updated": updated,
+             "date_published": "2024-01-01T00:00:00", "data": f'{{"v":{v}}}'}
+        )
+
+    (src / "f1.json").write_text(
+        rec("CVE-1", "2024-01-10T00:00:00", 1) + "\n" + rec("CVE-2", "2024-01-11T00:00:00", 1)
+    )
+    (src / "f2.json").write_text(
+        rec("CVE-1", "2024-02-20T00:00:00", 2)  # newer redelivery
+        + "\n" + rec("CVE-3", "2024-03-01T00:00:00", 1)
+    )
+
+    schema = "cve_id string, date_updated timestamp, date_published timestamp, data string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # two micro-batches
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _bid: warehouse_upsert(spark, batch, out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    back = {r["cve_id"]: r["data"] for r in spark.read.parquet(out).collect()}
+    assert back == {"CVE-1": '{"v":2}', "CVE-2": '{"v":1}', "CVE-3": '{"v":1}'}
