@@ -91,3 +91,46 @@ def t_topk_per_group_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment", "o_orderkey", "o_totalprice"
     )
     return joined.groupBy("c_mktsegment").applyInPandas(_top3_pandas, _TOPK_SCHEMA)
+
+
+@register(
+    "g_yoy_customer_growth",
+    """
+    SELECT o_custkey, yr, CAST(spend AS DOUBLE) AS spend,
+           CAST(prev_spend AS DOUBLE) AS prev_spend
+    FROM (
+        SELECT o_custkey, yr, spend,
+               LAG(spend) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev_spend
+        FROM (
+            SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
+                   SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+            FROM orders GROUP BY 1, 2
+        )
+    )
+    WHERE prev_spend IS NOT NULL AND spend > prev_spend
+    """,
+    "Year-over-year growth: yearly per-customer spend, lag window over "
+    "the aggregate, keep growing years — the aggregate-then-window "
+    "composition every cohort/retention analysis uses. Both shuffles "
+    "are on o_custkey, so AQE plans the window over the aggregate's "
+    "existing distribution (no second exchange); the growth comparison "
+    "runs on exact decimals.",
+)
+def g_yoy_customer_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import money
+
+    orders = table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(F.sum(money("o_totalprice")).alias("spend"))
+    w = Window.partitionBy("o_custkey").orderBy("yr")
+    return (
+        yearly.withColumn("prev_spend", F.lag("spend").over(w))
+        .filter(F.col("prev_spend").isNotNull() & (F.col("spend") > F.col("prev_spend")))
+        .select(
+            "o_custkey",
+            "yr",
+            F.col("spend").cast("double").alias("spend"),
+            F.col("prev_spend").cast("double").alias("prev_spend"),
+        )
+    )
