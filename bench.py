@@ -55,6 +55,10 @@ HEADLINE = [
     "tx_redact_pii",
     "v_label_centroids",
     "pipeline_corpus_prep",
+    "w_gapfill_hourly",
+    "tx_topk_bigrams",
+    "d_stratified_sample",
+    "v_quantize_int8",
 ]
 
 

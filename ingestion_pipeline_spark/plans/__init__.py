@@ -11,3 +11,4 @@ from . import registry_ext9  # noqa: F401  — range-frame windows, applyInPanda
 from . import registry_ext10  # noqa: F401  — corpus-prep pipeline composite
 from . import registry_ext11  # noqa: F401  — incremental dedup, unpivot
 from . import registry_ext12  # noqa: F401  — posexplode, map ops, multiset set ops
+from . import registry_ext13  # noqa: F401  — gap-fill, n-gram top-k, stratified sample, int8 quantization

@@ -33,6 +33,7 @@ NLJ_ALLOWED = {
     "q11_top_brand_value",   # 1-row total-value threshold broadcast
     "q22_rich_quiet_customers",  # 1-row average-balance broadcast
     "j_price_band_join",   # 6-row band table: broadcast NLJ is the plan
+    "w_gapfill_hourly",    # calendar spine x tiny series set: dense grid by design
     "entry",
 }
 
