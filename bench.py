@@ -59,6 +59,10 @@ HEADLINE = [
     "tx_topk_bigrams",
     "d_stratified_sample",
     "v_quantize_int8",
+    "tx_gopher_quality_flags",
+    "d_contamination_5gram",
+    "v_two_stage_rerank",
+    "w_funnel_conversion",
 ]
 
 

@@ -88,3 +88,74 @@ def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
         scale = r["scale"]
         for c, x in zip(codes, vec):
             assert abs(c * scale - x) <= scale / 2 + 1e-9
+
+
+def test_repetition_ratio_bounds(spark, sf_dir):
+    out = query_map()["tx_repetition_ratio"](spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 < r["rep_ratio"] <= 1.0
+        assert r["distinct_trigrams"] <= r["n_trigrams"]
+        if r["n_trigrams"] == 0:
+            assert r["rep_ratio"] == 1.0
+
+
+def test_gopher_flags_consistency(spark, sf_dir):
+    rows = query_map()["tx_gopher_quality_flags"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        expected = (
+            5 <= r["n_words"] <= 100000
+            and 2.0 <= r["mean_word_len"] <= 12.0
+            and r["alpha_ratio"] > 0.5
+        )
+        assert r["passes"] == expected
+        assert 0.0 <= r["stop_ratio"] <= 1.0
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+
+
+def test_contamination_only_flags_overlapping_docs(spark, sf_dir):
+    out = query_map()["d_contamination_5gram"](spark, sf_dir).collect()
+    for r in out:
+        assert r["doc_id"] % 50 != 0  # benchmark docs never self-report
+        assert 0.0 < r["contamination"] <= 1.0
+        assert r["n_shared"] <= r["n_shingles"]
+
+
+def test_two_stage_rerank_recall_vs_exact(spark, sf_dir):
+    import numpy as np
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    exact_set = set()
+    for pi in np.where(ids % 100 == 0)[0]:
+        order = sorted(
+            ((round(sims[pi, j], 6), ids[j]) for j in range(len(ids)) if ids[j] != ids[pi]),
+            key=lambda t: (-t[0], t[1]),
+        )
+        exact_set.update((ids[pi], vid) for _, vid in order[:5])
+    two_stage = {
+        (r["probe_id"], r["vec_id"])
+        for r in query_map()["v_two_stage_rerank"](spark, sf_dir).collect()
+    }
+    # Int8-coarse candidates keep nearly all true float-cosine top-5.
+    overlap = len(exact_set & two_stage)
+    assert overlap / len(exact_set) >= 0.9
+
+
+def test_funnel_stages_partition_users(spark, sf_dir):
+    out = {r["stage"]: r["n_users"] for r in query_map()["w_funnel_conversion"](spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ingestion_pipeline_spark.sources.parquet_tables import table as _t
+    n_signup_users = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert set(out) <= {1, 2, 3}
+    assert sum(out.values()) == n_signup_users
