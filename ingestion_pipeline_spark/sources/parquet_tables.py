@@ -39,15 +39,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects. Read nanos as long (runtime-settable legacy
-    conf) and floor-convert to microsecond TimestampType — the same
-    truncation DuckDB applies, so differential results agree."""
+    """Some fixture generations store ``ts`` as TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects; others as TIMESTAMP(MICROS), which it
+    reads natively. Handle both: read nanos as long (runtime-settable
+    legacy conf) and floor-convert to microsecond TimestampType — the
+    same truncation DuckDB applies, so differential results agree — and
+    pass native timestamps through untouched."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
