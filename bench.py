@@ -79,31 +79,38 @@ def main() -> None:
     spark.range(1).count()
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = qs[name]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # noop sink executes the FULL plan (count() would let Catalyst
-            # prune computed columns and under-measure).
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]}s", file=sys.stderr)
+        # Per-query fault isolation (VERDICT r1 #2): one broken query must
+        # not take down the other timings — record the error, keep going,
+        # and ALWAYS emit the final JSON line.
+        try:
+            fn = qs[name]
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # noop sink executes the FULL plan (count() would let
+                # Catalyst prune computed columns and under-measure).
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 3)
+            print(f"# {name}: {times[name]}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -39,19 +39,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Some fixture generations store ``ts`` as TIMESTAMP(NANOS), which
-    Spark's parquet reader rejects; others as TIMESTAMP(MICROS), which it
-    reads natively. Handle both: read nanos as long (runtime-settable
-    legacy conf) and floor-convert to microsecond TimestampType — the
-    same truncation DuckDB applies, so differential results agree — and
-    pass native timestamps through untouched."""
+    """Fixture generations differ in how they store ``ts``:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects it outright → read nanos
+      as long (legacy conf) and floor-convert to microsecond
+      TimestampType, the same truncation DuckDB applies.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      TimestampNTZType (``spark.sql.parquet.inferTimestampNTZ.enabled``
+      defaults true), but the whole time-family API here
+      (``unix_micros``, ``window``, stream watermarks) needs
+      session-local TIMESTAMP → cast NTZ to TimestampType. The session
+      timezone is pinned to UTC (session.py), so the wall-clock values
+      are identical to DuckDB's naive timestamps.
+    - TIMESTAMP(MICROS, adjusted): already TimestampType, pass through.
+    """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(df.schema["ts"].dataType, LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
