@@ -529,7 +529,48 @@ def d_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "v_ivf_topk",
-    None,  # approximate — recall asserted in pytest vs exact kNN
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+        SELECT vec_id AS cid,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+        FROM e WHERE vec_id < 16
+    ),
+    probe AS (
+        SELECT list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS pnorm,
+               v AS pv
+        FROM e WHERE vec_id = 0
+    ),
+    assign AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid
+                   ) AS rn
+            FROM e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    keep AS (
+        SELECT cid FROM (
+            SELECT c.cid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY list_dot_product(p.pnorm, c.cv) DESC, c.cid
+                   ) AS rn
+            FROM cent c CROSS JOIN probe p
+        ) WHERE rn <= 4
+    )
+    SELECT vec_id, cluster, sim FROM (
+        SELECT e.vec_id, a.cluster,
+               ROUND(CAST(list_cosine_similarity(e.v, p.pv) AS DOUBLE), 6) AS sim
+        FROM e
+        JOIN assign a ON e.vec_id = a.vec_id
+        CROSS JOIN probe p
+        WHERE a.cluster IN (SELECT cid FROM keep) AND e.vec_id <> 0
+    )
+    ORDER BY sim DESC, vec_id
+    LIMIT 8
+    """,
     "IVF-style ANN: 16 seed centroids (vec_id 0-15), corpus assigned to "
     "nearest centroid (broadcast argmax — no shuffle), probe searches "
     "its 4 nearest clusters only. The scale path when LSH recall is "

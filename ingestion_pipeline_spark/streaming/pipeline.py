@@ -29,6 +29,20 @@ from ..schemas import CVE_CORE_SCHEMA
 from ..sinks import append_parquet, quarantine_append
 
 
+def kafka_source_options(
+    brokers: str, topic: str = "cve", starting_offsets: str = "earliest"
+) -> dict[str, str]:
+    """S4 option surface, reference parity with ``consumer/main.py:17-24``
+    / ``consumer/consumer.py:40-49``: subscribe to the ``cve`` topic from
+    the earliest offset. Factored out so the surface is unit-testable
+    without a broker (the sandbox has none)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def cve_kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -41,9 +55,7 @@ def cve_kafka_stream(
     the rest of the pipeline is source-agnostic."""
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(brokers, topic, starting_offsets))
         .load()
         .select(F.col("value").cast("string").alias("raw"))
     )
