@@ -8,6 +8,7 @@ in the hot path, so they vectorize over 100 TB of documents unchanged.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -185,3 +186,42 @@ def pii_counts(col: Column) -> tuple[Column, Column]:
         F.regexp_count(col, F.lit(EMAIL_REGEX)).cast("long"),
         F.regexp_count(col, F.lit(PHONE_REGEX)).cast("long"),
     )
+
+
+def word_shingles_np(k: int, split: str = "[^a-z]+"):
+    """Arrow-batched distinct k-word shingler (lowercase, then split on
+    ``split`` — ``[^a-z]+`` matches the contamination oracle's
+    tokenizer, ``\\s+`` matches ``shingles()``/the Jaccard oracles;
+    fixture text is ASCII so Python/JVM/DuckDB lowercasing and both
+    regex dialects agree). The Catalyst HOF version (sequence→transform
+    →concat_ws→array_distinct) is CodegenFallback — interpreted per
+    element — and benches ~4× slower on a full-corpus shingle pass;
+    per-row Python over Arrow batches wins well before 100 TB, where
+    this projection touches every document."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    rx = re.compile(split)
+
+    @pandas_udf(ArrayType(StringType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ws = [w for w in rx.split((t or "").lower()) if w]
+            if len(ws) < k:
+                out.append([])
+            else:
+                # dict.fromkeys = order-preserving distinct (parity with
+                # array_distinct; consumers treat the array as a set)
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)
+                        )
+                    )
+                )
+        return pd.Series(out)
+
+    return sh

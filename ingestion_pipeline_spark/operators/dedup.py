@@ -240,21 +240,55 @@ def jaccard_pairs(
     J = |A∩B| / |A∪B| over word-shingle sets. ``block_col`` bounds the
     pair space (at 100 TB the block key is the LSH bucket from
     ``minhash_lsh_candidates``; here any low-cardinality column works).
+
+    ``threshold`` must be > 0: pairs sharing zero shingles are never
+    emitted (they carry no dedup signal, and enumerating them is the
+    quadratic all-pairs join this operator exists to avoid).
     """
-    base = spread(df).select(
+    if threshold <= 0:
+        raise ValueError("jaccard_pairs requires threshold > 0 (J=0 pairs are not enumerated)")
+    # Inverted-index design: explode shingles into postings, self-join
+    # on (block, shingle) — a pair appears once per SHARED shingle, so
+    # |A∩B| is a plain count and |A∪B| = |A|+|B|-|A∩B| from per-doc
+    # totals. Candidates must share ≥1 shingle, which is implied by any
+    # threshold > 0 — exact, not approximate. The round-1 all-pairs
+    # block cross-join went quadratic in block size (10× docs → 100×
+    # pairs, each paying an array_intersect); this shuffles postings on
+    # (block, shingle) instead, and only genuinely-overlapping pairs
+    # reach the aggregate. Hot-shingle skew is bounded by within-block
+    # n-gram frequency (AQE skew-join splits the rest).
+    from ..functions.text import word_shingles_np
+
+    tok = spread(df).select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("doc"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
+        F.explode(word_shingles_np(shingle_n, split=r"\s+")(F.col(text_col))).alias("s"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    sizes = tok.groupBy("doc").agg(F.count("*").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter_counts = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"))
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc") < F.col("b.doc")))
+        inter_counts.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

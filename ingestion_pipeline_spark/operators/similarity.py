@@ -117,6 +117,33 @@ def signature_bits_np(planes: list[list[float]]):
     return sig
 
 
+def cosine_pairs_np():
+    """Arrow-vectorized cosine over two array columns — one batched
+    einsum instead of a per-row zip_with/aggregate HOF chain (HOFs are
+    CodegenFallback: interpreted per element, ~100× slower on the
+    coarse-scoring hot path where every corpus×probe pair is scored).
+    float64 math, same 0.0-on-zero-norm semantics as
+    ``functions.vector.cosine``."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+            np.einsum("ij,ij->i", B, B)
+        )
+        return pd.Series(np.where(den > 0, num / np.where(den == 0, 1.0, den), 0.0))
+
+    return cos
+
+
 def assign_nearest_np(centroids: list[list[float]]):
     """Arrow-vectorized IVF cluster assignment: argmax of (rows × dim @
     dim × n_centroids) per batch. Centroids should be pre-normalized so

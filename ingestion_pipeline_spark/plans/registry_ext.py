@@ -518,10 +518,13 @@ def d_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(
         F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
     )
+    # pair cardinality is bounded by block (label) size; the pair-wise
+    # cosine itself is the hot loop → batched einsum, not per-element HOF
+    cos_np = sim.cosine_pairs_np()
     return (
         a.join(b, ["label"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("sim", F.round(cos_np(F.col("va"), F.col("vb")), 6))
         .filter(F.col("sim") >= 0.3)
         .select("id_a", "id_b", "sim")
     )

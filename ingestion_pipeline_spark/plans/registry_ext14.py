@@ -14,11 +14,12 @@ prunes the corpus, the exact metric reranks survivors.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine
-from ..operators.relational import topk_per_group
+from ..operators.relational import spread, topk_per_group
 from ..sources.parquet_tables import table
 from .registry import register
 
@@ -187,23 +188,41 @@ def tx_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle for the per-doc count.",
 )
 def d_contamination_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shingle explode over the corpus (doc_id filters push below the
+    # Generate, so the bench branch tokenizes only 2% of docs), then a
+    # broadcast LEFT join against the bench set with a hit indicator:
+    # per-doc total and shared count come out of ONE aggregation — no
+    # totals/hits twin aggregates and no aggregate-aggregate join.
+    # (Round 1 ran the explode three times; referencing the shingle
+    # array from two expressions in one projection is no better —
+    # CollapseProject inlines the array expression into each use.)
+    from ..functions.text import word_shingles_np
+
     docs = table(spark, sf_dir, "documents")
     sh = docs.select(
-        "doc_id", F.explode(_shingles_col(_words_col(), 5)).alias("s")
+        "doc_id", F.explode(word_shingles_np(5)(F.col("text"))).alias("s")
     )
-    bench = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
-    corp = sh.filter(F.col("doc_id") % 50 != 0)
-    totals = corp.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = (
-        corp.join(F.broadcast(bench), "s")
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0)
+        .select("s")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "s", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    return hits.join(totals, "doc_id").select(
-        "doc_id",
-        "n_shared",
-        "n_shingles",
-        (F.col("n_shared").cast("double") / F.col("n_shingles")).alias("contamination"),
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("__hit").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_shingles",
+            (F.col("n_shared").cast("double") / F.col("n_shingles")).alias("contamination"),
+        )
     )
 
 
@@ -261,35 +280,96 @@ def d_contamination_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles are the two per-probe windows (keyed by probe_id).",
 )
 def v_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    maxabs = F.greatest(
-        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
-        F.lit(1e-12),
+    """Coarse stage as a probe-matrix scan: the probe set (a query
+    workload — small by definition, collected driver-side like the IVF
+    centroids) rides into a ``mapInPandas`` scorer as one numpy matrix;
+    each corpus batch is int8-quantized and scored with a single BLAS
+    matmul, and only a per-batch top-30-per-probe SUPERSET (value
+    cut at the 30th score minus the 6dp rounding slack, so ties can't
+    be lost) leaves Python. The round-1 crossJoin materialized
+    |corpus|×|probes| rows each carrying BOTH 64-float arrays through
+    Arrow — 100× more transfer at 10× scale (the 10× smoke took 124 s;
+    this shape is linear in corpus size and doesn't materialize pairs).
+    """
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    codes = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * 127.0 / F.col("__maxabs") + 0.5).cast("double"),
+
+    emb = spread(table(spark, sf_dir, "embeddings"), min_partitions=8)
+    probe_rows = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
     )
-    q = (
-        emb.withColumn("__maxabs", maxabs)
-        .withColumn("codes", codes)
-        .drop("__maxabs")
+    p_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    p_mat = np.array([[float(x) for x in r["embedding"]] for r in probe_rows])
+
+    def quantize(m: "np.ndarray") -> "np.ndarray":
+        maxabs = np.maximum(np.abs(m).max(axis=1), 1e-12)
+        return np.floor(m * 127.0 / maxabs[:, None] + 0.5)
+
+    p_codes = quantize(p_mat)
+    p_norm = np.sqrt(np.einsum("ij,ij->i", p_codes, p_codes))
+
+    out_schema = StructType(
+        [
+            StructField("probe_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("csim_raw", DoubleType()),
+        ]
     )
-    probes = q.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("p_emb"),
-        F.col("codes").alias("p_codes"),
-    )
-    joined = q.crossJoin(F.broadcast(probes)).filter(
-        F.col("vec_id") != F.col("probe_id")
-    )
-    coarse = joined.withColumn(
-        "csim", F.round(cosine(F.col("codes"), F.col("p_codes")), 6)
-    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = quantize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+            vnorm = np.sqrt(np.einsum("ij,ij->i", V, V))
+            den = vnorm[:, None] * p_norm[None, :]
+            sims = np.where(den > 0, (V @ p_codes.T) / np.where(den == 0, 1.0, den), 0.0)
+            sims = np.where(vids[:, None] == p_ids[None, :], -np.inf, sims)
+            k = min(30, len(vids))
+            kth = np.partition(sims, -k, axis=0)[-k, :]  # 30th best per probe
+            # superset cut with 6dp-round slack; isfinite drops the
+            # -inf self-pair (which would otherwise pass -inf >= -inf)
+            keep = (sims >= (kth[None, :] - 1e-6)) & np.isfinite(sims)
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "probe_id": p_ids[cols],
+                    "vec_id": vids[rows],
+                    "csim_raw": sims[rows, cols],
+                }
+            )
+
+    coarse = emb.select("vec_id", "embedding").mapInPandas(score, out_schema)
     cand = topk_per_group(
-        coarse, ["probe_id"], [F.col("csim").desc(), F.col("vec_id").asc()], 30
-    ).drop("rank")
-    reranked = cand.withColumn("sim", F.round(cosine(F.col("embedding"), F.col("p_emb")), 6))
+        coarse.withColumn("csim", F.round(F.col("csim_raw"), 6)),
+        ["probe_id"],
+        [F.col("csim").desc(), F.col("vec_id").asc()],
+        30,
+    ).select("probe_id", "vec_id")
+    # Exact rerank touches 30 rows per probe: broadcast the candidate
+    # ids back onto the corpus for the float vectors, then score
+    # against the (broadcast) probe vectors.
+    probes_df = F.broadcast(
+        emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+        )
+    )
+    reranked = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cand), "vec_id")
+        .join(probes_df, "probe_id")
+        .withColumn("sim", F.round(cosine(F.col("embedding"), F.col("p_emb")), 6))
+    )
     return topk_per_group(
         reranked, ["probe_id"], [F.col("sim").desc(), F.col("vec_id").asc()], 5
     ).select("probe_id", "vec_id", "sim")

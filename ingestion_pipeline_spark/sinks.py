@@ -87,6 +87,46 @@ def warehouse_upsert(
     latest.write.mode("overwrite").parquet(path)
 
 
+def jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+) -> None:
+    """K1, warehouse-flavored: the reference's Snowflake INSERT loop
+    (``processor.py:55-62``, one row + one commit per record) as a
+    set-oriented ``format("jdbc")`` write — executor-side batched
+    INSERTs (``batchsize`` rows per round trip, ~10⁴× fewer commits).
+
+    ``num_partitions`` caps concurrent connections: at cluster scale a
+    1000-partition frame would open 1000 connections — coalesce to what
+    the database can take. Any JDBC warehouse (Snowflake, Postgres,
+    Derby in tests) is the same call with a different url/driver."""
+    out = df.coalesce(num_partitions) if num_partitions else df
+    w = (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    if driver:
+        w = w.option("driver", driver)
+    w.save()
+
+
+def jdbc_read(spark, url: str, table: str, driver: str | None = None) -> DataFrame:
+    """S11 counterpart: point/partitioned reads back out of the JDBC
+    warehouse (the reference's Snowflake SELECT path)."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        r = r.option("driver", driver)
+    return r.load()
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,

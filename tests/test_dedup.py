@@ -33,14 +33,18 @@ def test_exact_dup_groups(docs):
 
 
 def test_shingles_and_jaccard(spark, docs):
+    import pytest
+
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in dd.jaccard_pairs(docs, "text", "doc_id", "block", threshold=0.0).collect()
+        for r in dd.jaccard_pairs(docs, "text", "doc_id", "block", threshold=1e-9).collect()
     }
     assert pairs[(1, 2)] == 1.0                      # identical
     assert 0.5 < pairs[(1, 4)] < 1.0                 # near dup
-    assert pairs[(1, 5)] == 0.0                      # disjoint
+    assert (1, 5) not in pairs                       # disjoint: J=0 never emitted
     assert (5, 6) not in pairs                       # different block
+    with pytest.raises(ValueError):                  # J=0 enumeration is refused
+        dd.jaccard_pairs(docs, "text", "doc_id", "block", threshold=0.0)
 
 
 def test_minhash_lsh_finds_near_dups(docs):

@@ -1,0 +1,116 @@
+"""Scale smoke (VERDICT r1 #7): run the heaviest registry queries at
+~10x the largest driver fixture (sf0.1 → ≈sf1) to surface skew, memory
+and shuffle behavior before claiming 100× readiness.
+
+The driver ships no sf1 fixtures, so this builds a deterministic 10×
+replica of sf0.1 under ``<repo>/.scale/sf1x/`` — each table is
+cross-joined with ``range(K)`` and its keys remapped consistently
+(``key*K + i``) so join fan-outs, group cardinalities and LSH bucket
+sizes all grow 10× like real data would (NOT a row-copy with identical
+keys, which would only grow dup-groups). Fixture inputs themselves are
+untouched. Usage:
+
+    python tools/scale_smoke.py [K] [query ...]
+
+Prints one JSON line: {"k": K, "rows": {...}, "queries": {name: sec}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+
+# The five heaviest headline shapes by plan inspection (VERDICT r1) plus
+# the widest shuffles in the registry.
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",
+    "q18_large_orders",
+    "t_top3_orders_per_customer",
+    "w_sessionize_events",
+    "d_minhash_lsh_candidates",
+    "v_lsh_knn_join",
+    "d_dup_clusters",
+    "pipeline_corpus_prep",
+]
+
+
+def build_scaled(spark, out_dir: str, k: int) -> dict[str, int]:
+    from pyspark.sql import functions as F
+
+    from ingestion_pipeline_spark.sources.parquet_tables import TABLE_NAMES, table
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows: dict[str, int] = {}
+    rep = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__rep")
+
+    def remap(col: str):
+        return (F.col(col) * k + F.col("__rep")).alias(col)
+
+    for name in TABLE_NAMES:
+        df = table(spark, SRC, name)
+        if name in ("region", "nation"):
+            scaled = df  # dimension tables stay fixed, as at real scale
+        else:
+            rep_df = df.select("*", rep)
+            cols = []
+            for f in df.schema.fields:
+                c = f.name
+                # grow entity-key spaces; keep foreign keys to fixed dims
+                if c in ("l_orderkey", "o_orderkey", "event_id", "doc_id", "vec_id"):
+                    cols.append(remap(c))
+                elif c == "ts":  # jitter replicas so time ties don't explode
+                    cols.append(
+                        (F.col("ts") + F.make_interval(secs=F.col("__rep")))
+                        .alias("ts")
+                    )
+                else:
+                    cols.append(F.col(c))
+            scaled = rep_df.select(*cols)
+        dest = f"{out_dir}/{name}.parquet"
+        scaled.write.mode("overwrite").parquet(dest)
+        rows[name] = spark.read.parquet(dest).count()
+    return rows
+
+
+def main() -> int:
+    from ingestion_pipeline_spark.plans import query_map
+    from ingestion_pipeline_spark.session import get_spark
+
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1x")
+
+    spark = get_spark("scale-smoke")
+    t0 = time.perf_counter()
+    rows = build_scaled(spark, out_dir, k)
+    build_s = round(time.perf_counter() - t0, 1)
+    print(f"# built {k}x replica in {build_s}s: {rows}", file=sys.stderr)
+
+    qs = query_map()
+    times: dict[str, float] = {}
+    failures = 0
+    for name in names:
+        try:
+            t0 = time.perf_counter()
+            qs[name](spark, out_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 2)
+            print(f"# {name}: {times[name]}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            times[name] = -1.0
+            failures += 1
+            print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
+
+    print(json.dumps({"k": k, "build_sec": build_s, "rows": rows, "queries": times}))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
