@@ -249,38 +249,52 @@ def jaccard_pairs(
         raise ValueError("jaccard_pairs requires threshold > 0 (J=0 pairs are not enumerated)")
     # Inverted-index design: explode shingles into postings, self-join
     # on (block, shingle) — a pair appears once per SHARED shingle, so
-    # |A∩B| is a plain count and |A∪B| = |A|+|B|-|A∩B| from per-doc
-    # totals. Candidates must share ≥1 shingle, which is implied by any
-    # threshold > 0 — exact, not approximate. The round-1 all-pairs
-    # block cross-join went quadratic in block size (10× docs → 100×
-    # pairs, each paying an array_intersect); this shuffles postings on
-    # (block, shingle) instead, and only genuinely-overlapping pairs
-    # reach the aggregate. Hot-shingle skew is bounded by within-block
-    # n-gram frequency (AQE skew-join splits the rest).
+    # |A∩B| is a plain count. Candidates must share ≥1 shingle, which is
+    # implied by any threshold > 0 — exact, not approximate. The round-1
+    # all-pairs block cross-join went quadratic in block size (10× docs
+    # → 100× pairs, each paying an array_intersect); this shuffles
+    # postings on (block, shingle) instead, and only genuinely-
+    # overlapping pairs reach the aggregate. Hot-shingle skew is bounded
+    # by within-block n-gram frequency (AQE skew-join splits the rest).
+    #
+    # Each posting carries its document's TOTAL shingle count ``n``, so
+    # |A∪B| = na+nb-|A∩B| falls out of the same aggregate — no separate
+    # sizes table, no post-join enrichment: the shingler (a pandas UDF,
+    # the expensive projection here) appears exactly twice in the plan
+    # (the two join inputs), and those are byte-identical subplans that
+    # AQE collapses into one ReusedExchange — one Python pass over the
+    # corpus total, versus three (a-side, b-side, sizes) before.
     from ..functions.text import word_shingles_np
 
-    tok = spread(df).select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles_np(shingle_n, split=r"\s+")(F.col(text_col))).alias("s"),
+    tok = (
+        spread(df)
+        .select(
+            F.col(block_col).alias("block"),
+            F.col(id_col).alias("doc"),
+            word_shingles_np(shingle_n, split=r"\s+")(F.col(text_col)).alias("__sh"),
+        )
+        .select(
+            "block",
+            "doc",
+            F.size(F.col("__sh")).alias("n"),
+            F.explode(F.col("__sh")).alias("s"),
+        )
     )
-    sizes = tok.groupBy("doc").agg(F.count("*").alias("n"))
     a, b = tok.alias("a"), tok.alias("b")
-    inter_counts = (
+    return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
             & (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .groupBy(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"))
-    return (
-        inter_counts.join(sa, "id_a")
-        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -85,7 +85,6 @@ GRADED_WINDOW = [
     # TPC-H-shaped analytics: scan→filter→join→agg→sort→limit, subqueries
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q7_nation_trade", "q9_nation_profit", "q10_returned_revenue",
-    "q13_order_count_distribution", "q17_small_quantity_revenue",
     "q18_large_orders", "q21_sole_blocking_supplier",
     # filters
     "f_orders_combo", "f_prefix_sources",
@@ -93,29 +92,32 @@ GRADED_WINDOW = [
     "j_customers_without_orders", "j_big_spender_semi",
     "j_verify_full_outer", "j_asof_click_before_purchase",
     # aggregation
-    "g_events_stats", "g_collect_docs_per_source", "g_rollup_orders",
+    "g_events_stats", "g_collect_docs_per_source",
     "g_grouping_sets_revenue",
-    # top-k / ordering
+    # top-k / ordering (t_topk_per_group_pandas = the applyInPandas
+    # extension point, §2.12 UDF-3, under the value-hash gate)
     "t_top3_orders_per_customer", "t_latest_event_per_user",
-    "t_price_percentiles",
+    "t_topk_per_group_pandas",
     # windows / time
-    "w_running_user_value", "w_hourly_event_rollup", "w_sessionize_events",
+    "w_hourly_event_rollup", "w_sessionize_events",
     "w_session_window_rollup", "w_gapfill_hourly",
-    # nested extraction / json
+    # nested extraction / json / templates / query rewrite (P3, P9)
     "p_props_extraction", "p_json_roundtrip",
+    "p_embed_text_template", "p_query_rewrite",
     # string / regex
     "x_cve_extraction", "x_explode_cve_join", "x_text_stats",
-    # set ops
-    "e_rag_verdicts",
-    # vector search
+    # set ops (E1 via e_rag_verdicts, E3 union)
+    "e_rag_verdicts", "e_union_doc_sets",
+    # vector search / embedding generation (V1/V2 gate) / numpy-kernel
+    # LSH ANN (§2.12 UDF-5, exact SQL oracle over the LCG hyperplanes)
     "v_cosine_top8", "v_threshold_search", "v_knn_join",
-    "v_two_stage_rerank",
+    "v_two_stage_rerank", "v_embed_hashing_check", "v_lsh_knn_join",
     # dedup family
     "d_exact_dup_groups", "d_jaccard_pairs", "d_minhash_md5_signatures",
     "d_simhash16_portable", "d_embedding_near_dups", "d_dup_clusters",
     # scoring / RAG / text-analysis / multimodal / composite pipeline
     "s_confidence_scores", "rag_context_block", "tx_langid",
-    "tx_redact_pii", "mm_media_features", "pipeline_corpus_prep",
+    "mm_media_features", "pipeline_corpus_prep",
 ]
 
 
