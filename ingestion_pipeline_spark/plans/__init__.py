@@ -13,3 +13,4 @@ from . import registry_ext11  # noqa: F401  — incremental dedup, unpivot
 from . import registry_ext12  # noqa: F401  — posexplode, map ops, multiset set ops
 from . import registry_ext13  # noqa: F401  — gap-fill, n-gram top-k, stratified sample, int8 quantization
 from . import registry_ext14  # noqa: F401  — repetition/quality gates, contamination, two-stage rerank, funnel
+from . import registry_ext15  # noqa: F401  — sequence packing, domain-mixture rebalance, semantic dedup
