@@ -14,3 +14,4 @@ from . import registry_ext12  # noqa: F401  — posexplode, map ops, multiset se
 from . import registry_ext13  # noqa: F401  — gap-fill, n-gram top-k, stratified sample, int8 quantization
 from . import registry_ext14  # noqa: F401  — repetition/quality gates, contamination, two-stage rerank, funnel
 from . import registry_ext15  # noqa: F401  — sequence packing, domain-mixture rebalance, semantic dedup
+from . import registry_ext16  # noqa: F401  — salted join / salted collect skew mitigation
