@@ -15,3 +15,4 @@ from . import registry_ext13  # noqa: F401  — gap-fill, n-gram top-k, stratifi
 from . import registry_ext14  # noqa: F401  — repetition/quality gates, contamination, two-stage rerank, funnel
 from . import registry_ext15  # noqa: F401  — sequence packing, domain-mixture rebalance, semantic dedup
 from . import registry_ext16  # noqa: F401  — salted join / salted collect skew mitigation
+from . import registry_ext17  # noqa: F401  — token-budget selection, unigram surprisal

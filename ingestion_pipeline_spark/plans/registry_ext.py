@@ -663,10 +663,9 @@ def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tx_quality_scores",
-    f"""
-    WITH parts AS (
+# Shared by tx_quality_scores and the token-budget selection oracle
+# (registry_ext17) — the SQL twin of functions/text.py:quality_score.
+QUALITY_PARTS_SQL = f"""
         SELECT doc_id,
                len({_TOKS}) AS n_tokens,
                len(list_filter({_TOKS},
@@ -675,14 +674,22 @@ def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                length(text) AS n_chars_raw,
                length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct
         FROM documents
-    )
-    SELECT doc_id,
+"""
+QUALITY_EXPR_SQL = """
            ROUND(LEAST(1.0, GREATEST(0.0,
                LEAST(1.0, n_tokens / 100.0) * 0.4
              + LEAST(1.0, (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 5.0) * 0.3
              + GREATEST(0.0, 1.0 - (CASE WHEN n_chars_raw > 0
                                          THEN CAST(n_chars_raw - n_nopunct AS DOUBLE) / n_chars_raw
-                                         ELSE 0.0 END) * 4.0) * 0.3)), 6) AS quality
+                                         ELSE 0.0 END) * 4.0) * 0.3)), 6)
+"""
+
+
+@register(
+    "tx_quality_scores",
+    f"""
+    WITH parts AS ({QUALITY_PARTS_SQL})
+    SELECT doc_id, {QUALITY_EXPR_SQL} AS quality
     FROM parts
     """,
     "Composite document-quality heuristic (length/stopword/punctuation "

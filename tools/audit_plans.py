@@ -35,6 +35,7 @@ NLJ_ALLOWED = {
     "j_price_band_join",   # 6-row band table: broadcast NLJ is the plan
     "w_gapfill_hourly",    # calendar spine x tiny series set: dense grid by design
     "d_domain_mixture",    # 1-row (total, n_sources) aggregate broadcast
+    "tx_unigram_surprisal",  # 1-row corpus-total broadcast
     "v_two_stage_rerank",  # broadcast probe set x corpus: the exact-knn join shape
     "entry",
 }
