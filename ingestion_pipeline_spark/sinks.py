@@ -151,3 +151,62 @@ def write_bucketed(
     if path:  # external table (bucketing metadata still lands in the catalog)
         w = w.option("path", path)
     w.saveAsTable(name)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the maintenance pass every streaming
+    parquet sink eventually needs: micro-batch appends accumulate files
+    far below row-group size, and at 100 TB an unfixed table turns every
+    scan into a metadata storm (one task + one footer read per tiny
+    file).
+
+    Rewrites ``path`` so each output file targets ``target_file_bytes``
+    (sized from the CURRENT on-disk bytes, so compression ratio is
+    carried over rather than guessed), preserving an optional partition
+    layout. Returns the number of files after compaction.
+
+    Scale notes: the rewrite is one ``coalesce`` (no shuffle — file
+    merging does not need key placement) unless a partition layout is
+    (re)applied, which costs the same single shuffle any partitioned
+    write pays. Run it per-partition in production (compact only
+    partitions whose file count exceeds a threshold) — the API takes
+    the partition directory as ``path`` for exactly that.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil div
+    df = spark.read.parquet(path)
+
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path.rstrip("/")))
+    try:
+        w = df.coalesce(int(n_out)).write.mode("overwrite")
+        if partition_by:
+            w = df.repartition(int(n_out), *[F.col(c) for c in partition_by]).write.mode(
+                "overwrite"
+            ).partitionBy(*partition_by)
+        w.parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return len(
+        [
+            f
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(f)
+        ]
+    )

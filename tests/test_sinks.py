@@ -106,3 +106,23 @@ def test_jdbc_sink_roundtrip_derby(spark, tmp_path):
         ("CVE-2024-2", "LOW", 2.1),
         ("CVE-2024-3", "MED", 5.0),
     }
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    import glob
+
+    from ingestion_pipeline_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # 20 single-row appends -> 20+ tiny files
+    for i in range(20):
+        spark.range(i * 10, i * 10 + 10).write.mode("append").parquet(path)
+    before = len(glob.glob(path + "/**/*.parquet", recursive=True))
+    assert before >= 20
+    rows_before = sorted(r[0] for r in spark.read.parquet(path).collect())
+
+    after = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert after < before
+    files = glob.glob(path + "/**/*.parquet", recursive=True)
+    assert len(files) == after == 1
+    assert sorted(r[0] for r in spark.read.parquet(path).collect()) == rows_before
