@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.exact import exact_sum, money, one_minus
+from ..functions.exact import cents_disc_price, exact_sum, money, one_minus, sum_cents
 from ..functions.vector import cosine
 from ..operators import similarity as sim
 from ..operators.relational import spread, topk_per_group
@@ -96,14 +96,19 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-07-01")))
     )
     part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
-        F.lit(0).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "PROMO", cents_disc_price()).otherwise(
+        F.lit(0).cast("long")
     )
+    # operand-parity with the oracle: each integer-cents sum scales back
+    # to dollars as a double BEFORE the ratio, matching the SQL's
+    # CAST(SUM(decimal) AS DOUBLE) operands bit-for-bit.
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
-                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(_disc_price()).cast("double")
+                F.lit(100.0)
+                * (F.sum(promo) / F.lit(10000.0))
+                / (F.sum(cents_disc_price()) / F.lit(10000.0))
             ).alias("promo_share"),
             F.count("*").alias("n_lines"),
         )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import money, one_minus
+from ..functions.exact import cents_disc_price, sum_cents
 from ..operators.skew import salted_collect_list, salted_join
 from ..sources.parquet_tables import table
 from .registry import SQL_DISC, SQL_EXT, register
@@ -52,9 +52,7 @@ def j_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("p_brand").agg(
         F.count("*").alias("n_lines"),
-        F.sum(money("l_extendedprice") * one_minus("l_discount"))
-        .cast("double")
-        .alias("revenue"),
+        sum_cents(cents_disc_price(), "revenue", 4),
     )
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import money, one_minus
+from ..functions.exact import cents_disc_price, money, one_minus, sum_cents
 from ..functions.extract import enhance_query
 from ..operators.relational import spread
 from ..sources.parquet_tables import table
@@ -70,7 +70,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.sum(_disc_price()).cast("double").alias("revenue"),
+            sum_cents(cents_disc_price(), "revenue", 4),
             F.count("*").alias("n_lines"),
         )
     )
@@ -156,7 +156,7 @@ def q19_flexible_or(spark: SparkSession, sf_dir: str) -> DataFrame:
             | clause("Brand#3", 35, 20, 30)
         )
         .agg(
-            F.sum(_disc_price()).cast("double").alias("revenue"),
+            sum_cents(cents_disc_price(), "revenue", 4),
             F.count("*").alias("n_lines"),
         )
     )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.exact import dec, money, one_minus
+from ..functions.exact import cents_disc_price, dec, money, one_minus, sum_cents
 from ..sources.parquet_tables import table
 from .registry import SQL_DISC, SQL_EXT, _disc_price, register
 
@@ -104,7 +104,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    vol = _disc_price()
+    vol = cents_disc_price()
     joined = (
         li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
                 F.col("o_orderkey") == F.col("l_orderkey"))
@@ -121,11 +121,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_year").agg(
         (
-            F.coalesce(
-                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume"))),
-                F.lit(0),
-            ).cast("double")
-            / F.sum("volume").cast("double")
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume"))),
+                    F.lit(0),
+                )
+                / F.lit(10000.0)
+            )
+            / (F.sum("volume") / F.lit(10000.0))
         ).alias("mkt_share"),
         F.count("*").alias("n_lines"),
     )
@@ -168,7 +171,7 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("o_year"),
         )
         .agg(
-            F.sum(_disc_price()).cast("double").alias("profit"),
+            sum_cents(cents_disc_price(), "profit", 4),
             F.count("*").alias("n_lines"),
         )
     )
