@@ -63,6 +63,12 @@ HEADLINE = [
     "d_contamination_5gram",
     "v_two_stage_rerank",
     "w_funnel_conversion",
+    "pipeline_pack_sequences",
+    "pipeline_token_budget_select",
+    "tx_unigram_surprisal",
+    "d_domain_mixture",
+    "d_semantic_dedup",
+    "j_salted_brand_revenue",
 ]
 
 

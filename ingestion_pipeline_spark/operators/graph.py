@@ -53,8 +53,17 @@ def connected_components(
     # round joins against sym, and without this cut the full upstream
     # plan (e.g. the Jaccard shingle self-join) re-executes per round.
     sym = sym.localCheckpoint(eager=True)
-    labels = sym.select("n").distinct().withColumn("label", F.col("n"))
-    labels = labels.localCheckpoint(eager=True)
+    # Round 0 fused into initialization: label = min(self, neighbors)
+    # straight from the edge list — one aggregate instead of a
+    # distinct + a full join round. Star clusters whose center is the
+    # minimum id (the common near-dup shape) converge here, so the loop
+    # below only runs its confirmation pass.
+    labels = (
+        sym.union(sym.select(F.col("n"), F.col("n").alias("m")))
+        .groupBy("n")
+        .agg(F.min("m").alias("label"))
+        .localCheckpoint(eager=True)
+    )
     prev_sum = labels.agg(F.sum("label")).first()[0]
 
     for _ in range(max_iter):
