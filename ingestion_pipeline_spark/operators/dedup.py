@@ -190,8 +190,11 @@ def minhash_lsh_candidates(
     banded = minhash_bands(hashed, n_hashes, n_bands)
     left = banded.alias("l")
     right = banded.alias("r")
+    # merge hint for the same reason as jaccard_pairs: the banded table
+    # is |docs|·n_bands rows behind a pandas UDF, but the planner only
+    # sees the small pre-UDF scan and would broadcast it.
     return (
-        left.join(
+        left.hint("merge").join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
@@ -266,12 +269,18 @@ def jaccard_pairs(
     # corpus total, versus three (a-side, b-side, sizes) before.
     from ..functions.text import word_shingles_np
 
+    # asNondeterministic: CollapseProject would otherwise inline the
+    # UDF column into BOTH consumers (size() and the explode generator),
+    # planning TWO ArrowEvalPython nodes per join side — the shingler
+    # ran 4× per query. Non-deterministic expressions are never
+    # duplicated, so each side evaluates it exactly once.
+    sh_udf = word_shingles_np(shingle_n, split=r"\s+").asNondeterministic()
     tok = (
         spread(df)
         .select(
             F.col(block_col).alias("block"),
             F.col(id_col).alias("doc"),
-            word_shingles_np(shingle_n, split=r"\s+")(F.col(text_col)).alias("__sh"),
+            sh_udf(F.col(text_col)).alias("__sh"),
         )
         .select(
             "block",
@@ -281,8 +290,13 @@ def jaccard_pairs(
         )
     )
     a, b = tok.alias("a"), tok.alias("b")
+    # hint("merge"): the planner sizes this join from the pre-UDF scan
+    # estimate (documents.parquet is small on disk) and would BROADCAST
+    # a side that explodes to |docs|·|shingles| postings — measured a
+    # 395 MB broadcast at the 10× smoke, an executor OOM at any real
+    # scale. Posting-table self-joins must always shuffle.
     return (
-        a.join(
+        a.hint("merge").join(
             b,
             (F.col("a.block") == F.col("b.block"))
             & (F.col("a.s") == F.col("b.s"))

@@ -133,11 +133,21 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    from ..functions.exact import cents
+
+    # qty in integer hundredths: HAVING > 160 ⟺ > 16000 cents, an exact
+    # integer compare identical to the oracle's decimal HAVING.
     return (
         orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_custkey", "o_totalprice")
-        .agg(exact_sum("l_quantity", "sum_qty"))
-        .filter(F.col("sum_qty") > 160)
+        .agg(F.sum(cents("l_quantity")).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 16000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            (F.col("qty_cents") / F.lit(100.0)).alias("sum_qty"),
+        )
         .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -516,22 +526,45 @@ def rag_context_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket so the pair space stays bounded.",
 )
 def d_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "label", "embedding")
-    a = emb.select(
-        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    # Per-block matrix sweep (applyInPandas): each vector crosses the
+    # Python boundary ONCE and the |block|² cosines stay inside a
+    # blocked BLAS matmul; only qualifying (id_a, id_b, sim) triples
+    # come back. The earlier pair-explode self-join shipped both float
+    # arrays for every pair through Arrow — measured 62 s at the 10×
+    # smoke (10× vectors per label → 100× pairs) vs ~4 s for this path.
+    # num/den cosine form and HALF_UP 6-dp rounding match
+    # similarity.cosine_pairs_np, so the SQL oracle is unchanged.
+    import numpy as np
+    import pandas as pd
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        n = len(pdf)
+        norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+        out_a, out_b, out_s = [], [], []
+        block = 512
+        for a0 in range(1, n, block):
+            b0 = min(a0 + block, n)
+            D = X[a0:b0] @ X.T
+            den = np.outer(norms[a0:b0], norms)
+            S = np.where(den > 0, D / np.where(den == 0, 1.0, den), 0.0)
+            S = np.floor(np.abs(S) * 1e6 + 0.5) / 1e6 * np.sign(S)  # HALF_UP 6dp
+            for r in range(b0 - a0):
+                g = a0 + r
+                js = np.nonzero(S[r, :g] >= 0.3)[0]
+                if len(js):
+                    out_a.extend(ids[js])
+                    out_b.extend([ids[g]] * len(js))
+                    out_s.extend(S[r, js])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding"
     )
-    b = emb.select(
-        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
-    # pair cardinality is bounded by block (label) size; the pair-wise
-    # cosine itself is the hot loop → batched einsum, not per-element HOF
-    cos_np = sim.cosine_pairs_np()
-    return (
-        a.join(b, ["label"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cos_np(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("sim") >= 0.3)
-        .select("id_a", "id_b", "sim")
+    return emb.groupBy("label").applyInPandas(
+        sweep, "id_a long, id_b long, sim double"
     )
 
 

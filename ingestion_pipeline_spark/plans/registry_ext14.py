@@ -67,21 +67,49 @@ def _shingles_col(ws: F.Column, k: int) -> F.Column:
     "UDF, scan-bound at any corpus size.",
 )
 def tx_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    ws = _words_col()
-    idx = F.sequence(F.lit(1), F.size(ws) - 2)
-    tg = F.when(
-        F.size(ws) >= 3,
-        F.transform(idx, lambda i: F.array_join(F.slice(ws, i, 3), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    # Arrow-batched trigram counting: the HOF chain
+    # (sequence→transform→slice→array_join→array_distinct) is
+    # CodegenFallback — interpreted per ELEMENT — and measured 81 s at
+    # the 10× smoke vs ~3 s for this per-row Python pass over Arrow
+    # batches (same lesson as word_shingles_np, text.py:191).
+    import pandas as pd
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    rx = re.compile("[^a-z]+")
+
+    @pandas_udf(
+        StructType(
+            [
+                StructField("n", IntegerType()),
+                StructField("d", IntegerType()),
+            ]
+        )
+    )
+    def trigram_counts(texts: pd.Series) -> pd.DataFrame:
+        ns, ds = [], []
+        for t in texts:
+            ws = [w for w in rx.split((t or "").lower()) if w]
+            if len(ws) < 3:
+                ns.append(0)
+                ds.append(0)
+            else:
+                tgs = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+                ns.append(len(tgs))
+                ds.append(len(set(tgs)))
+        return pd.DataFrame({"n": ns, "d": ds})
+
+    docs = spread(table(spark, sf_dir, "documents"))
     return docs.select(
-        "doc_id",
-        F.size(tg).alias("n_trigrams"),
-        F.size(F.array_distinct(tg)).alias("distinct_trigrams"),
+        "doc_id", trigram_counts(F.col("text")).alias("__tc")
     ).select(
-        "*",
-        F.when(F.col("n_trigrams") == 0, F.lit(1.0))
-        .otherwise(F.col("distinct_trigrams").cast("double") / F.col("n_trigrams"))
+        "doc_id",
+        F.col("__tc.n").alias("n_trigrams"),
+        F.col("__tc.d").alias("distinct_trigrams"),
+        F.when(F.col("__tc.n") == 0, F.lit(1.0))
+        .otherwise(F.col("__tc.d").cast("double") / F.col("__tc.n"))
         .alias("rep_ratio"),
     )
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.exact import dec, money
+from ..functions.exact import cents_disc_price, dec, money
 from ..sources.parquet_tables import table
 from .registry import SQL_DISC, SQL_EXT, _disc_price, register
 
@@ -189,7 +189,7 @@ def g_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_linestatus")
         .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(F.sum(_disc_price()).cast("double"))
+        .agg((F.sum(cents_disc_price()) / F.lit(10000.0)).alias("v"))
         .na.fill(0.0, ["A", "N", "R"])
     )
 
@@ -221,7 +221,7 @@ def g_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(l_linestatus, 'ALL') AS ls,
                CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
                CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_qty,
                COUNT(*) AS n_lines
         FROM gs_lineitem_view
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())

@@ -36,9 +36,16 @@ def get_spark(
     """
     cpus = default_parallelism()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # Local mode runs everything in ONE driver JVM whose default heap is
+    # 1g — with 32 threads that is ~32 MB/task: broadcasts spill, sorts
+    # spill, GC thrashes. Size it like the executor it actually is
+    # (only effective at JVM launch; harmless on getOrCreate reuse).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
