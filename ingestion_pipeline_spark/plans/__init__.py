@@ -16,3 +16,4 @@ from . import registry_ext14  # noqa: F401  — repetition/quality gates, contam
 from . import registry_ext15  # noqa: F401  — sequence packing, domain-mixture rebalance, semantic dedup
 from . import registry_ext16  # noqa: F401  — salted join / salted collect skew mitigation
 from . import registry_ext17  # noqa: F401  — token-budget selection, unigram surprisal
+from . import registry_ext18  # noqa: F401  — Bloom-membership incremental dedup

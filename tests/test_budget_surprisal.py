@@ -68,3 +68,31 @@ def test_unigram_surprisal_bounds(spark, sf_dir):
     assert out.filter(
         (F.col("mean_surprisal") <= 0) | (F.col("mean_surprisal") > hi)
     ).count() == 0
+
+
+def test_bloom_novel_equals_plain_antijoin(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ingestion_pipeline_spark.operators.dedup import content_md5
+    from ingestion_pipeline_spark.plans.registry_ext18 import (
+        _BATCH_SPLIT,
+        d_bloom_novel_docs,
+    )
+    from ingestion_pipeline_spark.sources.parquet_tables import table
+
+    out = {tuple(r) for r in d_bloom_novel_docs(spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", content_md5(F.col("text")).alias("h")
+    )
+    corpus_h = docs.filter(F.col("doc_id") < _BATCH_SPLIT).select("h").distinct()
+    plain = {
+        tuple(r)
+        for r in docs.filter(F.col("doc_id") >= _BATCH_SPLIT)
+        .join(corpus_h, "h", "left_anti")
+        .select("doc_id", "source")
+        .collect()
+    }
+    # sketch false positives cost extra confirm work but never change
+    # the answer; false negatives are impossible (all k positions of a
+    # present hash are set) — so the result is exactly the anti-join
+    assert out == plain
