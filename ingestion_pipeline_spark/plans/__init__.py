@@ -17,3 +17,5 @@ from . import registry_ext15  # noqa: F401  — sequence packing, domain-mixture
 from . import registry_ext16  # noqa: F401  — salted join / salted collect skew mitigation
 from . import registry_ext17  # noqa: F401  — token-budget selection, unigram surprisal
 from . import registry_ext18  # noqa: F401  — Bloom-membership incremental dedup
+from . import registry_ext19  # noqa: F401  — deletion-neighborhood fuzzy join
+from . import registry_ext20  # noqa: F401  — BM25 keyword retrieval

@@ -37,6 +37,7 @@ NLJ_ALLOWED = {
     "d_domain_mixture",    # 1-row (total, n_sources) aggregate broadcast
     "tx_unigram_surprisal",  # 1-row corpus-total broadcast
     "v_two_stage_rerank",  # broadcast probe set x corpus: the exact-knn join shape
+    "t_bm25_keyword_topk",  # 1-row corpus-stats (N, avgdl, df) broadcast
     "entry",
 }
 
