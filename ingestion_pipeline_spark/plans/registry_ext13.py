@@ -61,15 +61,6 @@ from .registry import register
 )
 def w_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
-    )
-    series = ev.select("event_type").distinct()
-    grid = spine.crossJoin(F.broadcast(series))
     actual = (
         ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
         .agg(
@@ -77,6 +68,17 @@ def w_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
         )
     )
+    # bounds and the series set derive from the AGGREGATED table, not the
+    # raw events: date_trunc(hour, min(ts)) == min(bucket) and the distinct
+    # event_type sets are identical, so the three logical consumers share
+    # ONE full-data pass — the identical aggregate subplans collapse into
+    # a single exchange (ReusedExchange) instead of three events scans.
+    bounds = actual.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    series = actual.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(series))
     return grid.join(actual, ["bucket", "event_type"], "left").select(
         F.unix_micros("bucket").alias("bucket_us"),
         "event_type",
@@ -119,23 +121,57 @@ def w_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "building job over a training corpus.",
 )
 def tx_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    ws = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    # Arrow-batched PARTIAL bigram counts: the HOF chain
+    # (split→filter→slice→zip_with) is CodegenFallback — interpreted per
+    # array element — and the explode ships every bigram OCCURRENCE into
+    # the shuffle. Counting per (lang, bigram) inside each Arrow batch
+    # does the tokenization in C regex and acts as a Python-side map
+    # combine: only distinct (lang, bigram) partials leave the scan
+    # stage (measured 3.8 s → sub-second at sf0.1; the win scales with
+    # occurrence/distinct ratio, i.e. with corpus size).
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
     )
-    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
-    bigrams = F.when(
-        F.size(ws) >= 2,
-        F.zip_with(
-            F.slice(ws, F.lit(1), n1),
-            F.slice(ws, F.lit(2), n1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    rx = re.compile("[^a-z]+")
+    out_schema = StructType(
+        [
+            StructField("lang", StringType()),
+            StructField("bigram", StringType()),
+            StructField("n_partial", LongType()),
+        ]
+    )
+
+    def batch_counts(batches):
+        for pdf in batches:
+            c: Counter = Counter()
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                ws = [w for w in rx.split((text or "").lower()) if w]
+                for i in range(len(ws) - 1):
+                    c[(lang, ws[i] + " " + ws[i + 1])] += 1
+            if c:
+                ks = list(c.keys())
+                yield pd.DataFrame(
+                    {
+                        "lang": [k[0] for k in ks],
+                        "bigram": [k[1] for k in ks],
+                        "n_partial": [c[k] for k in ks],
+                    }
+                )
+
+    docs = table(spark, sf_dir, "documents")
     counts = (
-        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        docs.select("lang", "text")
+        .mapInPandas(batch_counts, out_schema)
         .groupBy("lang", "bigram")
-        .agg(F.count("*").alias("n_occurrences"))
+        .agg(F.sum("n_partial").alias("n_occurrences"))
     )
     rk = F.row_number().over(
         Window.partitionBy("lang").orderBy(F.desc("n_occurrences"), F.asc("bigram"))
