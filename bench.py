@@ -69,6 +69,8 @@ HEADLINE = [
     "d_domain_mixture",
     "d_semantic_dedup",
     "j_salted_brand_revenue",
+    "j_fuzzy_name_pairs",
+    "t_bm25_keyword_topk",
 ]
 
 

@@ -5,9 +5,9 @@ The reference's retrieval is embedding-only (Pinecone/pgvector cosine,
 lexical side of hybrid search. BM25 here is expressed as PURE column
 math over one scan of the corpus:
 
-- per-doc stats: ``dl = size(tokens)``, per-term ``tf =
-  size(filter(tokens, t -> t = term))`` — no explode, no shuffle, all
-  whole-stage codegen;
+- per-doc stats (dl, per-term tf) are INTEGER counts from one Arrow
+  pandas_udf pass (a HOF chain would be CodegenFallback, interpreted
+  per token per term) — no explode, no shuffle, exactness preserved;
 - corpus stats (N, avgdl, per-term df) reduce to a SINGLE row, which
   broadcast-cross-joins back onto the per-doc frame (a one-row build
   side — free at any corpus size);
@@ -25,20 +25,12 @@ scoring this scan-side shape avoids the index entirely.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_tokens
-
 K1 = 1.2
 B = 0.75
-
-
-def _eq(w: str):
-    # single-arg lambda factory: a default-arg closure (lambda t, w=w: ...)
-    # would have arity 2 and PySpark's higher-order-function binding would
-    # pass the ARRAY INDEX as the second argument, shadowing the default.
-    return lambda t: t == F.lit(w)
 
 
 def bm25_scores(
@@ -51,17 +43,37 @@ def bm25_scores(
 
     Output: ``(id_col, score)`` for documents matching >= 1 term.
     """
-    toks = docs.select(
-        F.col(id_col),
-        word_tokens(F.lower(F.col(text_col))).alias("__toks"),
-    )
-    per_doc = toks.select(
+    # Arrow-batched term counting: dl and per-term tf are INTEGERS, so
+    # moving the tokenize+count into Python costs no float parity — and
+    # the HOF alternative (size(filter(tokens, ...)) per term) is
+    # CodegenFallback, interpreted per token per term. Measured 1.7 s ->
+    # sub-second at sf0.1; the gap grows with |terms| × corpus size.
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    fields = [StructField("dl", IntegerType())] + [
+        StructField(f"tf{i}", IntegerType()) for i in range(len(terms))
+    ]
+
+    @pandas_udf(StructType(fields))
+    def term_counts(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            ws = (t or "").lower().split()
+            rows.append([len(ws)] + [ws.count(w) for w in terms])
+        return pd.DataFrame(rows, columns=[f.name for f in fields])
+
+    # asNondeterministic: projection collapse would otherwise inline the
+    # UDF into every subfield extraction — |terms|+1 ArrowEvalPython
+    # passes over the corpus (see SCALE.md "UDF-fed joins", hazard 1).
+    term_counts = term_counts.asNondeterministic()
+
+    per_doc = docs.select(
+        id_col, term_counts(F.col(text_col)).alias("__c")
+    ).select(
         id_col,
-        F.size("__toks").alias("__dl"),
-        *[
-            F.size(F.filter("__toks", _eq(w))).alias(f"__tf_{i}")
-            for i, w in enumerate(terms)
-        ],
+        F.col("__c.dl").alias("__dl"),
+        *[F.col(f"__c.tf{i}").alias(f"__tf_{i}") for i in range(len(terms))],
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
