@@ -64,33 +64,74 @@ def fuzzy_self_join(
     if max_dist != 1:
         raise NotImplementedError("deletion-neighborhood join implemented for max_dist=1")
     a, b = out_prefix
-    postings = df.select(
-        F.col(key_col).alias("__key"),
-        F.col(str_col).alias("__str"),
-        F.explode(_neighborhood_expr(str_col)).alias("__variant"),
+    rows = df.select(F.col(key_col).alias("__key"), F.col(str_col).alias("__str"))
+
+    # The neighborhood join runs over DISTINCT strings, never raw rows:
+    # duplicate strings (dirty corpora are full of them) would multiply
+    # every posting bucket by their copy count and the candidate volume
+    # by its square — measured 50 s vs 6 s at the 10× smoke, whose
+    # replica duplicates each name 10×. Key pairs are re-expanded
+    # afterwards by plain output-proportional equi-joins on the string.
+    strs = rows.select("__str").distinct()
+    postings = strs.select(
+        "__str", F.explode(_neighborhood_expr("__str")).alias("__variant")
     )
-    left = postings
-    right = (
-        postings.withColumnRenamed("__key", "__key_r")
-        .withColumnRenamed("__str", "__str_r")
-    )
+    right = postings.withColumnRenamed("__str", "__str_r")
     # merge hint: postings explode ~len× past the scan the optimizer
     # sizes the build side from — never broadcast a fan-out table.
-    cand = (
-        left.hint("merge")
+    # verify BEFORE dedup: levenshtein is whole-stage-codegen and kills
+    # ~80% of candidates (lev-2 pairs sharing one deletion variant), so
+    # the distinct shuffles only true matches — measured 57 s -> 21 s at
+    # the 10× smoke with the other order (distinct over 15 M candidates
+    # vs over 3.3 M survivors)
+    str_pairs = (
+        postings.hint("merge")
         .join(right, "__variant")
-        .filter(F.col("__key") < F.col("__key_r"))
-        .select("__key", "__str", "__key_r", "__str_r")
+        .filter(F.col("__str") < F.col("__str_r"))  # each unordered pair once
+        .withColumn("dist", F.levenshtein("__str", "__str_r"))
+        .filter(F.col("dist") <= max_dist)
+        .select("__str", "__str_r", "dist")
         .distinct()
     )
-    return (
-        cand.withColumn("dist", F.levenshtein("__str", "__str_r"))
-        .filter(F.col("dist") <= max_dist)
+
+    # cross-string expansion: all key combos of the two strings, oriented
+    # so the smaller key (with ITS string) comes first
+    left_keys = rows.withColumnRenamed("__key", "__k1")
+    right_keys = rows.select(
+        F.col("__key").alias("__k2"), F.col("__str").alias("__str_r")
+    )
+    cross = (
+        str_pairs.join(left_keys, "__str")
+        .join(right_keys, "__str_r")
+        .select(
+            F.least("__k1", "__k2").alias(f"{a}_key"),
+            F.when(F.col("__k1") < F.col("__k2"), F.col("__str"))
+            .otherwise(F.col("__str_r"))
+            .alias(f"{a}_str"),
+            F.greatest("__k1", "__k2").alias(f"{b}_key"),
+            F.when(F.col("__k1") < F.col("__k2"), F.col("__str_r"))
+            .otherwise(F.col("__str"))
+            .alias(f"{b}_str"),
+            "dist",
+        )
+        # equal keys = two copies of the same entity, never a pair
+        .filter(F.col(f"{a}_key") < F.col(f"{b}_key"))
+    )
+
+    # same-string (dist 0) pairs: keyed self-join on the exact string —
+    # streams through sort-merge, no collect_list state
+    dup_right = rows.select(
+        F.col("__key").alias("__key_r"), F.col("__str").alias("__str")
+    )
+    dups = (
+        rows.join(dup_right, "__str")
+        .filter(F.col("__key") < F.col("__key_r"))
         .select(
             F.col("__key").alias(f"{a}_key"),
             F.col("__str").alias(f"{a}_str"),
             F.col("__key_r").alias(f"{b}_key"),
-            F.col("__str_r").alias(f"{b}_str"),
-            "dist",
+            F.col("__str").alias(f"{b}_str"),
+            F.lit(0).alias("dist"),
         )
     )
+    return cross.union(dups)

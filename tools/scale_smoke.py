@@ -62,9 +62,29 @@ def build_scaled(spark, out_dir: str, k: int) -> dict[str, int]:
             cols = []
             for f in df.schema.fields:
                 c = f.name
-                # grow entity-key spaces; keep foreign keys to fixed dims
-                if c in ("l_orderkey", "o_orderkey", "event_id", "doc_id", "vec_id"):
+                # grow EVERY entity-key space, keeping foreign keys
+                # consistent (custkey/suppkey/partkey remap on both the
+                # dimension and the fact side, so joins stay 1:1 instead
+                # of fanning out x K against duplicated dimension copies)
+                if c in (
+                    "l_orderkey", "o_orderkey", "event_id", "doc_id", "vec_id",
+                    "c_custkey", "o_custkey",
+                    "s_suppkey", "l_suppkey",
+                    "p_partkey", "l_partkey",
+                    "user_id",
+                ):
                     cols.append(remap(c))
+                elif c == "c_name":
+                    # regenerate from the REMAPPED key: replica names must
+                    # be distinct strings, or every string-keyed operator
+                    # (fuzzy join, exact dedup) sees a degenerate x K
+                    # duplication real growth would not have
+                    cols.append(
+                        F.format_string(
+                            "Customer#%09d",
+                            F.col("c_custkey") * k + F.col("__rep"),
+                        ).alias("c_name")
+                    )
                 elif c == "ts":  # jitter replicas so time ties don't explode
                     cols.append(
                         (F.col("ts") + F.make_interval(secs=F.col("__rep")))
