@@ -104,3 +104,81 @@ def dup_clusters(
         F.col(id_col),
         F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Power-iteration PageRank over the edge list — ``(node, rank)``
+    with ranks summing to 1 across the node universe (src ∪ dst).
+
+    The per-round shape is the canonical distributed one: one join of
+    the edge list with the current ranks (shuffle on src) + one
+    partial-aggregated sum per dst — identical cost envelope to a
+    round of connected components above, with the same
+    ``localCheckpoint`` lineage discipline. Dangling mass (nodes with
+    no out-edges) is one scalar aggregate per round, redistributed
+    uniformly (the standard correction, so ranks keep summing to 1).
+
+    A fixed ``iters`` (not a convergence test) keeps the result exactly
+    reproducible across engines and runs; power iteration's error
+    decays like damping^k, so 10 rounds ≈ 2 decimal digits — plenty for
+    ranking near-dup cluster centrality or seed selection.
+    """
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if symmetric:
+        fwd = fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    fwd = fwd.localCheckpoint(eager=True)
+
+    nodes = (
+        fwd.select(F.col("s").alias("n"))
+        .union(fwd.select(F.col("d").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    out_deg = fwd.groupBy("s").agg(F.count("*").alias("deg"))
+
+    ranks = nodes.select("n", F.lit(1.0 / n_total).alias("rank"))
+    base = (1.0 - damping) / n_total
+
+    # a symmetrized graph cannot have dangling nodes (every node that
+    # appears has at least one out-edge) — skip the correction and its
+    # per-round aggregate entirely
+    has_dangling = not symmetric
+
+    for _ in range(iters):
+        weighted = ranks.join(out_deg, ranks.n == out_deg.s, "left").select(
+            ranks.n,
+            "rank",
+            (F.col("rank") / F.col("deg")).alias("share"),
+            F.col("deg").isNull().alias("dangling"),
+        )
+        contribs = (
+            fwd.join(weighted.select(F.col("n").alias("s"), "share"), "s")
+            .groupBy(F.col("d").alias("n"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        new_rank = F.lit(base) + F.lit(damping) * F.coalesce(
+            F.col("contrib"), F.lit(0.0)
+        )
+        joined = nodes.join(contribs, "n", "left")
+        if has_dangling:
+            # dangling mass as a declarative 1-row broadcast, NOT a
+            # driver action per round — the whole iteration stays one
+            # job (the eager checkpoint)
+            dmass = weighted.filter("dangling").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dmass")
+            )
+            joined = joined.crossJoin(F.broadcast(dmass))
+            new_rank = new_rank + F.lit(damping) * F.col("__dmass") / F.lit(
+                float(n_total)
+            )
+        ranks = joined.select("n", new_rank.alias("rank")).localCheckpoint(eager=True)
+
+    return ranks.select("n", "rank")

@@ -1,0 +1,76 @@
+"""Twenty-third registry tranche: graph centrality + re-aggregatable
+sketch columns.
+
+- ``d_pagerank_neardup``: PageRank over the embedding near-dup graph —
+  centrality picks the canonical/most-connected member of each dup
+  family (and, at corpus scale, seed documents for crawling/curation).
+  Iterative float fixpoint → rows-only gate; the math is pinned by
+  ``tests/test_graph_sketch.py`` against a dense Python reference.
+- ``g_hll_partitioned_merge``: the 100 TB distinct-counting pattern —
+  build an HLL sketch PER PARTITION SLICE (here per day), store/ship
+  the sketch bytes, and merge at query time (``hll_union_agg``).
+  Exact distinct over a month of data re-scans the month; merged
+  daily sketches are a few KB each and re-aggregate associatively —
+  the same mergeable-state idea as partial aggregation, made durable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank
+from ..sources.parquet_tables import table
+from .registry import register
+
+
+@register(
+    "d_pagerank_neardup",
+    None,  # iterative float fixpoint — rows-only; math pinned in pytest
+    "PageRank (damping 0.85, 10 fixed power iterations, dangling mass "
+    "redistributed) over the symmetric embedding near-dup graph "
+    "(label-blocked cosine >= 0.3 — the same pair builder the "
+    "d_embedding_near_dups oracle verifies). Per round: one edge-"
+    "ranks join + one partial-aggregated sum + localCheckpoint, the "
+    "identical cost envelope as a connected-components round. Fixed "
+    "iteration count keeps results reproducible; tests pin the values "
+    "against a dense Python reference.",
+)
+def d_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import REGISTRY
+
+    # the oracle-gated near-dup pair builder IS the edge list
+    pairs = REGISTRY["d_embedding_near_dups"].spark(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    ranks = pagerank(pairs, "id_a", "id_b", symmetric=True)
+    return ranks.select(
+        F.col("n").alias("vec_id"), F.round("rank", 9).alias("rank")
+    ).orderBy(F.col("rank").desc(), "vec_id")
+
+
+@register(
+    "g_hll_partitioned_merge",
+    None,  # sketch bytes are engine-internal — rows-only; bounds in pytest
+    "Mergeable distinct-count sketches: one HLL per (event_type, day) "
+    "slice (hll_sketch_agg over user_id), then hll_union_agg collapses "
+    "each type's daily sketches into the period-wide distinct-user "
+    "estimate. THE warehouse pattern for distinct counts at 100 TB: "
+    "daily sketch build touches each day once, every later rollup "
+    "(week/month/arbitrary ranges) merges kilobyte sketches instead "
+    "of re-scanning raw data. Estimates are within ~2% (HLL lgK=12); "
+    "tests assert a 5% bound against exact counts.",
+)
+def g_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+        )
+        .orderBy("event_type")
+    )

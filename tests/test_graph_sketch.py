@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ingestion_pipeline_spark.operators.graph import connected_components, dup_clusters
@@ -98,3 +99,80 @@ def test_dataset_split_stable_under_repartitioning(spark, sf_dir):
 
     kept = docs.filter(deterministic_sample(F.col("doc_id"), 0.25)).count()
     assert 0.15 <= kept / n <= 0.35
+
+
+# ---- PageRank ---------------------------------------------------------
+
+def _pr_reference(edges, damping=0.85, iters=10):
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {i: [] for i in range(n)}
+    for s, d in edges:
+        out[idx[s]].append(idx[d])
+    rank = [1.0 / n] * n
+    for _ in range(iters):
+        contrib = [0.0] * n
+        dangling = 0.0
+        for i in range(n):
+            if out[i]:
+                share = rank[i] / len(out[i])
+                for j in out[i]:
+                    contrib[j] += share
+            else:
+                dangling += rank[i]
+        rank = [
+            (1 - damping) / n + damping * (contrib[i] + dangling / n)
+            for i in range(n)
+        ]
+    return {nodes[i]: rank[i] for i in range(n)}
+
+
+def test_pagerank_matches_reference_directed(spark):
+    from ingestion_pipeline_spark.operators.graph import pagerank
+
+    # 4 has no out-edges: exercises the dangling-mass redistribution
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (5, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["n"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+    ref = _pr_reference(edges)
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_symmetric_star_center_highest(spark):
+    from ingestion_pipeline_spark.operators.graph import pagerank
+
+    edges = [(0, i) for i in range(1, 6)] + [(10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["n"]: r["rank"] for r in pagerank(df, symmetric=True, iters=10).collect()}
+    sym = edges + [(b, a) for a, b in edges]
+    ref = _pr_reference(sym)
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], rel=1e-9)
+    # the star center dominates every leaf; the isolated pair is symmetric
+    assert got[0] > got[1]
+    assert got[10] == pytest.approx(got[11], rel=1e-9)
+
+
+# ---- Mergeable HLL sketches ------------------------------------------
+
+def test_hll_merge_within_5pct_of_exact(spark):
+    import pyspark.sql.functions as F
+    from ingestion_pipeline_spark.plans.registry_ext23 import g_hll_partitioned_merge
+    from ingestion_pipeline_spark.sources.parquet_tables import table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r["est_users"] for r in g_hll_partitioned_merge(spark, sf).collect()}
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t in exact:
+        assert abs(got[t] - exact[t]) <= max(1, 0.05 * exact[t])
