@@ -22,3 +22,4 @@ from . import registry_ext20  # noqa: F401  — BM25 keyword retrieval
 from . import registry_ext21  # noqa: F401  — weighted sampling, SCD2, RRF fusion
 from . import registry_ext22  # noqa: F401  — Z-order layout, winsorization
 from . import registry_ext23  # noqa: F401  — PageRank, mergeable HLL sketches
+from . import registry_ext24  # noqa: F401  — product-quantized ANN (ADC)
