@@ -39,6 +39,7 @@ NLJ_ALLOWED = {
     "v_two_stage_rerank",  # broadcast probe set x corpus: the exact-knn join shape
     "t_bm25_keyword_topk",  # 1-row corpus-stats (N, avgdl, df) broadcast
     "v_hybrid_rrf_fusion",  # BM25 stats broadcast + 1-row probe, both inherited
+    "v_negative_samples",  # tiny anchor set broadcast x corpus on label<>: by design
     "entry",
 }
 
