@@ -121,3 +121,37 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
     got = {r["n"]: r["component"] for r in connected_components(df).collect()}
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_contraction_matches_min_label(spark, edges):
+    """Two-phase star contraction agrees with min-label propagation on
+    random graphs (both canonicalize components to their minimum id)."""
+    from ingestion_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = {r["n"]: r["component"] for r in connected_components(df).collect()}
+    b = {r["n"]: r["component"] for r in connected_components_star(df).collect()}
+    assert a == b
+
+
+def test_star_contraction_long_chain(spark):
+    """A 40-node path — the adversarial diameter case star contraction
+    exists for — resolves to one component rooted at 0."""
+    from ingestion_pipeline_spark.operators.graph import connected_components_star
+
+    chain = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(chain, "src bigint, dst bigint")
+    got = {r["n"]: r["component"] for r in connected_components_star(df).collect()}
+    assert set(got) == set(range(41))
+    assert set(got.values()) == {0}

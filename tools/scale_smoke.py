@@ -38,6 +38,17 @@ DEFAULT_QUERIES = [
     "v_lsh_knn_join",
     "d_dup_clusters",
     "pipeline_corpus_prep",
+    # round-2 additions: the new families' heaviest shapes
+    "j_fuzzy_name_pairs",
+    "t_bm25_keyword_topk",
+    "v_hybrid_rrf_fusion",
+    "v_pq_adc_topk",
+    "d_pagerank_neardup",
+    "tx_vocab_build",
+    "v_negative_samples",
+    "g_zorder_orders",
+    "s_winsorized_quality",
+    "g_hll_partitioned_merge",
 ]
 
 
