@@ -71,6 +71,17 @@ HEADLINE = [
     "j_salted_brand_revenue",
     "j_fuzzy_name_pairs",
     "t_bm25_keyword_topk",
+    "v_hybrid_rrf_fusion",
+    "d_weighted_sample",
+    "w_scd2_user_state",
+    "g_zorder_orders",
+    "s_winsorized_quality",
+    "d_pagerank_neardup",
+    "g_hll_partitioned_merge",
+    "v_pq_adc_topk",
+    "tx_vocab_build",
+    "d_difficulty_buckets",
+    "v_negative_samples",
 ]
 
 

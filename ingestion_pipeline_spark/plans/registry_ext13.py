@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.relational import spread
 from ..sources.parquet_tables import table
 from .registry import register
 
@@ -166,7 +167,10 @@ def tx_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-    docs = table(spark, sf_dir, "documents")
+    # spread(): a Python-heavy full-corpus pass must not inherit a
+    # degenerate scan layout (one giant row group -> one task); no-op
+    # when the input is already well-partitioned
+    docs = spread(table(spark, sf_dir, "documents"))
     counts = (
         docs.select("lang", "text")
         .mapInPandas(batch_counts, out_schema)

@@ -105,6 +105,12 @@ def build_scaled(spark, out_dir: str, k: int) -> dict[str, int]:
                     cols.append(F.col(c))
             scaled = rep_df.select(*cols)
         dest = f"{out_dir}/{name}.parquet"
+        if name not in ("region", "nation"):
+            # write a realistic multi-file layout: the fixture is one file
+            # with one giant row group, and replicating it K x produces a
+            # handful of unsplittable monsters — scans (especially Python
+            # passes) would run on 1-2 tasks no matter the cluster size
+            scaled = scaled.repartition(32)
         scaled.write.mode("overwrite").parquet(dest)
         rows[name] = spark.read.parquet(dest).count()
     return rows
