@@ -1,0 +1,82 @@
+"""Data-quality expectations — declarative constraint checking at scale.
+
+The reference trusts its inputs (records flow Kafka → Snowflake with
+no validation beyond never-throw extraction); a production warehouse
+gates every load on data-quality rules. The public shapes are AWS
+Deequ's constraint suite and Delta Live Tables' expectations; this
+module gives both halves on stock Spark:
+
+- ``expectation_report``: one pass over the data → one row per rule
+  with (n_rows, n_violations, pass_fraction, ok). Every rule is a
+  Column predicate, so the whole report is a single map-side-combined
+  aggregate of ``sum(rule violated)`` terms — constraint checking
+  costs ONE scan regardless of rule count, never a scan per rule.
+- ``split_by_expectations``: the row-level enforcement path — rows
+  violating any rule route to quarantine (the W7 dead-letter
+  discipline, ``sinks.py:quarantine_append``), clean rows flow on.
+  One scan, two filtered writes.
+
+Rules are plain ``(name, Column)`` predicates where the Column is the
+PASS condition; nulls count as violations (SQL three-valued logic
+would silently pass them otherwise).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _violated(pred: Column) -> Column:
+    # NULL predicate = violation, not "unknown": coalesce(pred, false)
+    return (~F.coalesce(pred, F.lit(False))).cast("long")
+
+
+def expectation_report(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
+    """One row per rule: ``(rule, n_rows, n_violations, pass_fraction,
+    ok)``. Single aggregate over one scan for any number of rules."""
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(_violated(pred)).alias(f"__v_{i}") for i, (_, pred) in enumerate(rules.items())
+    ]
+    row = df.agg(*aggs)
+    reports = []
+    for i, name in enumerate(rules):
+        reports.append(
+            row.select(
+                F.lit(name).alias("rule"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__v_{i}").alias("n_violations"),
+                F.when(F.col("__n") == 0, F.lit(1.0))
+                .otherwise(
+                    (F.col("__n") - F.col(f"__v_{i}")) / F.col("__n").cast("double")
+                )
+                .alias("pass_fraction"),
+                (F.col(f"__v_{i}") == 0).alias("ok"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.union(r)
+    return out
+
+
+def split_by_expectations(
+    df: DataFrame, rules: Mapping[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined): rows failing ANY rule go to quarantine with
+    a ``failed_rules`` array naming the violated expectations."""
+    failed = F.filter(
+        F.array(
+            *[
+                F.when(_violated(pred) == 1, F.lit(name)).otherwise(F.lit(None))
+                for name, pred in rules.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tagged = df.withColumn("failed_rules", failed)
+    clean = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+    quarantined = tagged.filter(F.size("failed_rules") > 0)
+    return clean, quarantined

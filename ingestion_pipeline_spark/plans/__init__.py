@@ -25,3 +25,4 @@ from . import registry_ext23  # noqa: F401  — PageRank, mergeable HLL sketches
 from . import registry_ext24  # noqa: F401  — product-quantized ANN (ADC)
 from . import registry_ext25  # noqa: F401  — vocab build, curriculum buckets, negative sampling
 from . import registry_ext26  # noqa: F401  — Python UDTF surface
+from . import registry_ext27  # noqa: F401  — DQ expectations, z-score anomalies
