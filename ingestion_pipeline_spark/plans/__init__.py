@@ -26,3 +26,4 @@ from . import registry_ext24  # noqa: F401  — product-quantized ANN (ADC)
 from . import registry_ext25  # noqa: F401  — vocab build, curriculum buckets, negative sampling
 from . import registry_ext26  # noqa: F401  — Python UDTF surface
 from . import registry_ext27  # noqa: F401  — DQ expectations, z-score anomalies
+from . import registry_ext28  # noqa: F401  — incremental rollup refresh

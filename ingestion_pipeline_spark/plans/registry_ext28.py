@@ -1,0 +1,83 @@
+"""Twenty-eighth registry tranche: incremental view maintenance.
+
+``g_incremental_rollup_refresh`` — the nightly-warehouse pattern: a
+materialized per-(source, lang) rollup is REFRESHED by aggregating
+only the day's increment and merging it with the stored aggregate
+state, never re-scanning the archive. Works because the maintained
+statistics are mergeable: counts and sums add, min/max combine, and
+derived means recompute from merged (sum, count). The gate's oracle
+is the FULL recompute over corpus ∪ increment — proving
+merge(agg(old), agg(delta)) ≡ agg(old ∪ delta), the algebraic identity
+the whole pattern rests on. Same discipline as the mergeable HLL
+sketches (g_hll_partitioned_merge), here for exact statistics.
+
+At 100 TB: the stored state is one row per group (tiny), the daily
+cost is one scan of the delta + a group-keyed merge join — O(delta),
+not O(archive). The reference's row-at-a-time Snowflake INSERT
+(processor.py:55-59) re-derives nothing; this is what its nightly
+rollup should look like on Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet_tables import table
+from .registry import register
+
+_SPLIT = 400  # corpus/increment split, the d_incremental_novel_docs convention
+
+
+def _rollup(df: DataFrame) -> DataFrame:
+    return df.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "g_incremental_rollup_refresh",
+    f"""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+    "Incremental materialized-view refresh: the stored per-(source, "
+    f"lang) rollup of the archive (doc_id < {_SPLIT}) merges with the "
+    "aggregate of ONLY the increment — counts/sums add, min/max "
+    "combine, mean recomputes from merged (sum, n). The oracle is the "
+    "full recompute over everything, so the gate proves the merge "
+    "identity agg(old)⊕agg(delta) ≡ agg(old∪delta) value-exactly. "
+    "Daily cost at 100 TB: O(delta) scan + a group-keyed merge of "
+    "one-row-per-group states; the archive is never re-read.",
+)
+def g_incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # the "stored" state: in production this is a table the last refresh
+    # wrote; here it is derived from the archive slice so the gate is
+    # self-contained
+    state = _rollup(docs.filter(F.col("doc_id") < _SPLIT))
+    delta = _rollup(docs.filter(F.col("doc_id") >= _SPLIT))
+
+    merged = (
+        state.select("source", "lang", "n_docs", "sum_chars", "min_chars", "max_chars")
+        .unionByName(delta)
+        .groupBy("source", "lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_chars").alias("sum_chars"),
+            F.min("min_chars").alias("min_chars"),
+            F.max("max_chars").alias("max_chars"),
+        )
+    )
+    return merged.withColumn(
+        "mean_chars", F.col("sum_chars").cast("double") / F.col("n_docs")
+    )
