@@ -91,10 +91,16 @@ def register(name: str, sql: Optional[str], doc: str):
 # the genuinely non-SQL-expressible entries (approximate ANN / sketch
 # ops, graded rows-only) last.
 GRADED_WINDOW = [
-    # TPC-H-shaped analytics: scan→filter→join→agg→sort→limit, subqueries
+    # TPC-H-shaped analytics: scan→filter→join→agg→sort→limit (q7/q9/
+    # q10/q21 rotated out in round 2 — the shapes they exercise stay
+    # covered by q1/q3/q5/q18 — to make room for the new operator
+    # families below)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q7_nation_trade", "q9_nation_profit", "q10_returned_revenue",
-    "q18_large_orders", "q21_sole_blocking_supplier",
+    "q18_large_orders",
+    # round-2 families: fuzzy entity resolution, lexical retrieval,
+    # data-quality gating, write-side layout
+    "j_fuzzy_name_pairs", "t_bm25_keyword_topk",
+    "dq_orders_expectations", "g_zorder_orders",
     # filters
     "f_orders_combo", "f_prefix_sources",
     # joins (anti, semi, full-outer, as-of)
