@@ -129,6 +129,7 @@ def run_dual_sink_ingest(
     checkpoint_dir: str,
     available_now: bool = True,
     embed_fn: Callable[[DataFrame, str], DataFrame] | None = None,
+    expectations=None,
 ):
     """W5 dual-sink ingest: one micro-batch → warehouse append + vector
     table append, each isolated by a try/except that quarantines the
@@ -136,6 +137,11 @@ def run_dual_sink_ingest(
 
     Records with an unparseable/absent cve_id go to quarantine, matching
     the reference's per-record error isolation — but set-at-a-time.
+    ``expectations`` (optional ``{name: pass-Column}`` mapping,
+    ``operators/quality.py`` semantics) adds declarative data-quality
+    gating on top: rows violating any rule are quarantined with the
+    violated rule names as the reason, clean rows flow to both sinks —
+    the DLT-style expectations-on-ingest pattern.
     """
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
@@ -143,6 +149,18 @@ def run_dual_sink_ingest(
         try:
             ok = batch.filter(F.col("cve").isNotNull() & (ex.cve_id(F.col("cve")) != ""))
             bad = batch.filter(F.col("cve").isNull() | (ex.cve_id(F.col("cve")) == ""))
+            if expectations:
+                from ..operators.quality import split_by_expectations
+
+                ok, violated = split_by_expectations(ok, expectations)
+                if violated.limit(1).count() > 0:
+                    # quarantine schema stays (raw, reason, ts) — per-rule
+                    # detail comes from expectation_report, not the DLQ
+                    quarantine_append(
+                        violated.select("raw"),
+                        quarantine_path,
+                        reason="expectation_failed",
+                    )
             try:
                 append_parquet(extract_warehouse_rows(ok), warehouse_path)
             except Exception:  # noqa: BLE001 — W7: never fail the query

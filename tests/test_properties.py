@@ -155,3 +155,45 @@ def test_star_contraction_long_chain(spark):
     got = {r["n"]: r["component"] for r in connected_components_star(df).collect()}
     assert set(got) == set(range(41))
     assert set(got.values()) == {0}
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=5),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzzy_join_matches_brute_force(spark, words):
+    """Deletion-neighborhood candidates + levenshtein verify ≡ the
+    quadratic definition, on arbitrary short strings over a tiny
+    alphabet (maximizes adversarial collisions: dups, empties,
+    one-char strings, transpositions)."""
+    import itertools
+
+    from ingestion_pipeline_spark.operators.fuzzy import fuzzy_self_join
+
+    def lev(s, t):
+        m, n = len(s), len(t)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (s[i - 1] != t[j - 1]))
+                prev = cur
+        return dp[n]
+
+    rows = list(enumerate(words))
+    want = {
+        (a[0], b[0], lev(a[1], b[1]))
+        for a, b in itertools.combinations(rows, 2)
+        if lev(a[1], b[1]) <= 1
+    }
+    df = spark.createDataFrame(rows, "wid long, w string")
+    got = {
+        (r["a_key"], r["b_key"], r["dist"])
+        for r in fuzzy_self_join(df, "wid", "w").collect()
+    }
+    assert got == want

@@ -172,3 +172,34 @@ def test_streaming_ingest_with_upsert_sink_collapses_redeliveries(spark, tmp_pat
 
     back = {r["cve_id"]: r["data"] for r in spark.read.parquet(out).collect()}
     assert back == {"CVE-1": '{"v":2}', "CVE-2": '{"v":1}', "CVE-3": '{"v":1}'}
+
+
+def test_dual_sink_with_expectations(spark, stream_dirs):
+    """DQ expectations on ingest: rows violating a declarative rule are
+    quarantined (reason=expectation_failed), clean rows reach both
+    sinks — the DLT-style gate composed onto the W5/W7 path."""
+    import pyspark.sql.functions as F
+
+    from ingestion_pipeline_spark.functions import extract as ex
+    from ingestion_pipeline_spark.functions.embed import with_embedding
+
+    stream = cve_file_stream(spark, stream_dirs["src"])
+    q = run_dual_sink_ingest(
+        stream,
+        stream_dirs["warehouse"],
+        stream_dirs["vectors"],
+        stream_dirs["quarantine"],
+        stream_dirs["checkpoint"],
+        available_now=True,
+        embed_fn=lambda df, c: with_embedding(df, c, dim=16),
+        # reject the two highest-severity records (scores 10.0 and 11.0)
+        expectations={"score_sane": ex.cve_score(F.col("cve")) <= 9.5},
+    )
+    q.awaitTermination(120)
+
+    wh = spark.read.parquet(stream_dirs["warehouse"])
+    assert wh.count() == 3  # 5 good - 2 expectation failures
+    quar = spark.read.parquet(stream_dirs["quarantine"])
+    reasons = sorted(r["reason"] for r in quar.collect())
+    assert reasons.count("expectation_failed") == 2
+    assert reasons.count("unparseable") == 2
