@@ -27,3 +27,4 @@ from . import registry_ext25  # noqa: F401  — vocab build, curriculum buckets,
 from . import registry_ext26  # noqa: F401  — Python UDTF surface
 from . import registry_ext27  # noqa: F401  — DQ expectations, z-score anomalies
 from . import registry_ext28  # noqa: F401  — incremental rollup refresh
+from . import registry_ext29  # noqa: F401  — cohort retention, RAG chunking, duplicate spans, profiler, triangles

@@ -40,6 +40,7 @@ NLJ_ALLOWED = {
     "t_bm25_keyword_topk",  # 1-row corpus-stats (N, avgdl, df) broadcast
     "v_hybrid_rrf_fusion",  # BM25 stats broadcast + 1-row probe, both inherited
     "v_negative_samples",  # tiny anchor set broadcast x corpus on label<>: by design
+    "g_triangle_counts",   # 1-row edge/node-count aggregates broadcast onto 1-row triangle count
     "entry",
 }
 
