@@ -82,6 +82,13 @@ HEADLINE = [
     "tx_vocab_build",
     "d_difficulty_buckets",
     "v_negative_samples",
+    "w_cohort_retention",
+    "tx_chunk_overlap",
+    "d_duplicate_spans",
+    "dq_numeric_profile",
+    "g_triangle_counts",
+    "g_histogram_totalprice",
+    "tx_bpe_merges",
 ]
 
 

@@ -1,0 +1,108 @@
+"""Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+tokenizer-training step of a training-data pipeline, distributed the way
+BPE actually scales.
+
+The trick that makes BPE tractable on a 100 TB corpus is Sennrich's own:
+merges are learned from the **word-frequency table**, not the corpus.
+One corpus pass aggregates ``word -> freq`` (map-side combined, shuffle
+carries one row per distinct word per task); every subsequent merge
+round runs on that compact table — tens of thousands of rows however
+large the corpus. Each round is:
+
+1. adjacent-pair counts: ``zip_with(sym, slice(sym, 2, ...))`` explode +
+   one map-side-combined ``groupBy(pair).sum(freq)``;
+2. argmax pair by ``(count DESC, pair ASC)`` — a 1-row driver scalar
+   (the same allowed pattern as the IVF centroid collect);
+3. greedy left-to-right pair merge inside each word via an
+   ``F.aggregate`` fold over the symbol array — pure Catalyst, no
+   Python row work;
+4. ``localCheckpoint`` to cut the per-round lineage (the connected-
+   components discipline, graph.py).
+
+Determinism: counts are exact integers and ties break lexicographically,
+so the learned merge table is reproducible anywhere — pinned against a
+pure-Python reference in ``tests/test_bpe.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", top_n: int = 200
+) -> DataFrame:
+    """One corpus pass: lowercase alpha word -> total frequency, top-N
+    by (freq DESC, word ASC). ``top_n`` bounds the training table; at
+    scale raise it (the table stays vocabulary-sized, not corpus-sized)."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return words.orderBy(F.col("freq").desc(), F.col("word")).limit(top_n)
+
+
+def _merge_pair(sym: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) into a+b inside a
+    symbol array — an ``aggregate`` fold, evaluated in codegen."""
+    merged = a + b
+    return F.aggregate(
+        sym,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    spark: SparkSession, words: DataFrame, n_merges: int = 10
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from a (word, freq) table. Returns
+    the merge table: (merge_rank, pair_a, pair_b, merged, pair_count)."""
+    state = words.select(
+        F.split("word", "").alias("sym"), F.col("freq").cast("long").alias("freq")
+    ).localCheckpoint()
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = state.select(
+            F.explode(
+                F.zip_with(
+                    F.col("sym"),
+                    F.slice(
+                        "sym", 2, F.greatest(F.size("sym") - 1, F.lit(0))
+                    ),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+            "freq",
+        ).filter(F.col("p.b").isNotNull())
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .first()
+        )
+        if top is None or top["n"] < 2:
+            break
+        a, b = top["a"], top["b"]
+        merges.append((rank, a, b, a + b, int(top["n"])))
+        state = state.withColumn("sym", _merge_pair(F.col("sym"), a, b))
+        # ≤ vocab rows: checkpoint is cheap and keeps the round-over-
+        # round plan flat instead of n_merges-deep
+        state = state.localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "merge_rank INT, pair_a STRING, pair_b STRING, merged STRING, pair_count BIGINT"
+    )

@@ -92,15 +92,14 @@ def register(name: str, sql: Optional[str], doc: str):
 # ops, graded rows-only) last.
 GRADED_WINDOW = [
     # TPC-H-shaped analytics: scan→filter→join→agg→sort→limit (q7/q9/
-    # q10/q21 rotated out in round 2 — the shapes they exercise stay
-    # covered by q1/q3/q5/q18 — to make room for the new operator
-    # families below)
+    # q10/q18/q21 rotated out across round 2 — the shapes they exercise
+    # stay covered by q1/q3/q5 and j_big_spender_semi's groupBy-HAVING-
+    # semi — to make room for the new operator families below)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q18_large_orders",
     # round-2 families: fuzzy entity resolution, lexical retrieval,
-    # data-quality gating, write-side layout
+    # data-quality gating, write-side layout, RAG chunking
     "j_fuzzy_name_pairs", "t_bm25_keyword_topk",
-    "dq_orders_expectations", "g_zorder_orders",
+    "dq_orders_expectations", "g_zorder_orders", "tx_chunk_overlap",
     # filters
     "f_orders_combo", "f_prefix_sources",
     # joins (anti, semi, full-outer, as-of)

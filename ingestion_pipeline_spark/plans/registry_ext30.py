@@ -1,0 +1,93 @@
+"""Thirtieth registry tranche: tokenizer training + histogram profiling.
+
+- ``tx_bpe_merges`` — BPE merge-table training (Sennrich et al. 2016)
+  over the documents corpus: one corpus pass builds the word-frequency
+  table, then every merge round runs on that compact table (see
+  ``operators/bpe.py`` for the scale argument). Iterative argmax
+  fixpoint → rows-only gate; the merge table is pinned value-exactly
+  against a pure-Python reference in ``tests/test_bpe.py``.
+- ``g_histogram_totalprice`` — equal-width 20-bin histogram with
+  data-derived bounds: one 1-row (min, max) aggregate broadcast onto
+  the scan, integer bin index per row, map-side-combined counts. The
+  distribution-profiling companion to ``dq_numeric_profile`` (exact
+  bins, where ``t_price_percentiles`` gives quantiles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.bpe import bpe_train, word_frequencies
+from ..sources.parquet_tables import table
+from .registry import register
+
+_BINS = 20
+
+
+@register(
+    "tx_bpe_merges",
+    None,  # iterative argmax fixpoint — rows-only; pinned in test_bpe.py
+    "BPE tokenizer training: 10 merge rounds over the top-200 word-"
+    "frequency table of the documents corpus. Deterministic — exact "
+    "integer pair counts, (count DESC, pair ASC) tie-break — so the "
+    "merge table is reproducible on any engine; tests pin it against a "
+    "pure-Python BPE reference. At 100 TB the corpus is touched ONCE "
+    "(word-freq agg); all rounds run on the vocabulary-sized table "
+    "(Sennrich's trick), each round one pair-explode groupBy + a 1-row "
+    "argmax collect + a codegen fold merge.",
+)
+def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return bpe_train(spark, word_frequencies(docs, top_n=200), n_merges=10)
+
+
+@register(
+    "g_histogram_totalprice",
+    f"""
+    WITH b AS (
+        SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ),
+    x AS (
+        SELECT LEAST(CAST(FLOOR((o_totalprice - lo) * {_BINS} / (hi - lo))
+                          AS BIGINT), {_BINS - 1}) AS bin_idx,
+               lo, hi
+        FROM orders, b
+    )
+    SELECT bin_idx,
+           lo + bin_idx * (hi - lo) / {_BINS} AS bin_lo,
+           lo + (bin_idx + 1) * (hi - lo) / {_BINS} AS bin_hi,
+           COUNT(*) AS n_orders
+    FROM x GROUP BY bin_idx, lo, hi
+    """,
+    "Equal-width histogram (20 bins, data-derived bounds) over order "
+    "totals: a 1-row (min, max) aggregate — servable straight from "
+    "parquet footer stats — broadcast onto the scan, one integer bin "
+    "expression per row, map-side-combined counts. Top bin closes the "
+    "range (LEAST guard). Exact-bin distribution profiling alongside "
+    "the quantile view (t_price_percentiles).",
+)
+def g_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    span = F.col("hi") - F.col("lo")
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) * _BINS / span),
+            F.lit(_BINS - 1).cast("long"),
+        ).alias("bin_idx"),
+        "lo",
+        "hi",
+    )
+    return (
+        binned.groupBy("bin_idx", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bin_idx",
+            (F.col("lo") + F.col("bin_idx") * span / _BINS).alias("bin_lo"),
+            (F.col("lo") + (F.col("bin_idx") + 1) * span / _BINS).alias("bin_hi"),
+            "n_orders",
+        )
+    )

@@ -1,0 +1,72 @@
+"""BPE merge training pinned against a pure-Python reference
+implementation (Sennrich et al. 2016 algorithm 1): same word-frequency
+input, same (count DESC, pair ASC) tie-break, greedy left-to-right
+merge — the Spark merge table must be value-identical.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from ingestion_pipeline_spark.operators.bpe import bpe_train, word_frequencies
+from ingestion_pipeline_spark.plans import query_map
+
+
+def _python_bpe(word_freqs: dict[str, int], n_merges: int):
+    state = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(n_merges):
+        counts: Counter = Counter()
+        for w, sym in state.items():
+            f = word_freqs[w]
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        # max by count, ties broken lexicographically ascending
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((rank, a, b, a + b, n))
+        for w, sym in state.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            state[w] = out
+    return merges
+
+
+def test_bpe_matches_python_reference(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = word_frequencies(docs, top_n=100)
+    freqs = {r["word"]: r["freq"] for r in words.collect()}
+    assert len(freqs) > 10
+
+    got = [tuple(r) for r in bpe_train(spark, words, n_merges=8).collect()]
+    expect = _python_bpe(freqs, 8)
+    assert got == expect
+    # merges actually happened and counts are non-increasing is NOT
+    # guaranteed by BPE in general, but ranks must be sequential
+    assert [m[0] for m in got] == list(range(len(got)))
+    assert len(got) > 0
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    # 'aaa' with pair (a,a): greedy left-to-right yields ['aa','a'],
+    # never ['a','aa'] — the fold must not re-merge its own output
+    words = spark.createDataFrame([("aaa", 5), ("aab", 3)], "word STRING, freq LONG")
+    got = [tuple(r) for r in bpe_train(spark, words, n_merges=2).collect()]
+    expect = _python_bpe({"aaa": 5, "aab": 3}, 2)
+    assert got == expect
+    assert got[0][1:4] == ("a", "a", "aa")
+
+
+def test_bpe_registry_entry_runs(spark, sf_dir):
+    out = query_map()["tx_bpe_merges"](spark, sf_dir).collect()
+    assert 1 <= len(out) <= 10
+    assert all(r["merged"] == r["pair_a"] + r["pair_b"] for r in out)

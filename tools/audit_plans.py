@@ -41,6 +41,8 @@ NLJ_ALLOWED = {
     "v_hybrid_rrf_fusion",  # BM25 stats broadcast + 1-row probe, both inherited
     "v_negative_samples",  # tiny anchor set broadcast x corpus on label<>: by design
     "g_triangle_counts",   # 1-row edge/node-count aggregates broadcast onto 1-row triangle count
+    "g_histogram_totalprice",  # 1-row (min, max) bounds broadcast onto the scan
+    "tx_bpe_merges",       # merge table materialized via createDataFrame (scan-free plan)
     "entry",
 }
 

@@ -49,6 +49,13 @@ DEFAULT_QUERIES = [
     "g_zorder_orders",
     "s_winsorized_quality",
     "g_hll_partitioned_merge",
+    # ext29/30: the high-fan-out text ops (chunk/span explodes), the
+    # reused-shuffle cohort join, and the iterative BPE trainer
+    "tx_chunk_overlap",
+    "d_duplicate_spans",
+    "w_cohort_retention",
+    "g_triangle_counts",
+    "tx_bpe_merges",
 ]
 
 
