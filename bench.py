@@ -89,6 +89,8 @@ HEADLINE = [
     "g_triangle_counts",
     "g_histogram_totalprice",
     "tx_bpe_merges",
+    "tx_unicode_normalize",
+    "tx_c4_sentence_filter",
 ]
 
 

@@ -225,3 +225,70 @@ def word_shingles_np(k: int, split: str = "[^a-z]+"):
         return pd.Series(out)
 
     return sh
+
+
+def unicode_normalize_udf(form: str = "NFC", strip_accent_marks: bool = False):
+    """Unicode normalization as an Arrow-batched pandas UDF — no Spark
+    builtin covers NFC/NFKC (reference corpora arrive in mixed
+    composed/decomposed encodings; normalization must precede hashing
+    or exact dedup silently splits identical texts).
+
+    ``strip_accent_marks`` additionally removes combining marks (NFD
+    decompose → drop category Mn → recompose), matching DuckDB's
+    ``strip_accents`` so the operator stays value-hash-gatable. Pure
+    per-codepoint work over Arrow batches — embarrassingly parallel,
+    no shuffle."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def norm(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            if strip_accent_marks:
+                decomposed = unicodedata.normalize("NFD", t)
+                t = "".join(
+                    c for c in decomposed if unicodedata.category(c) != "Mn"
+                )
+            return unicodedata.normalize(form, t)
+
+        return texts.map(one)
+
+    return norm
+
+
+def strip_markup(col: Column) -> Column:
+    """Drop HTML/XML tags, unescape the core entities, collapse runs of
+    whitespace — the first cleanup pass over crawled text. Three
+    codegen string ops; entity unescape order (&lt;/&gt;/&quot; before
+    &amp;) is the standard one and is mirrored verbatim in the SQL
+    oracle so results are value-identical."""
+    c = F.regexp_replace(col, "<[^>]*>", "")
+    c = F.replace(c, F.lit("&lt;"), F.lit("<"))
+    c = F.replace(c, F.lit("&gt;"), F.lit(">"))
+    c = F.replace(c, F.lit("&quot;"), F.lit('"'))
+    c = F.replace(c, F.lit("&amp;"), F.lit("&"))
+    return F.trim(F.regexp_replace(c, "\\s+", " "))
+
+
+def c4_sentence_filter(col: Column, min_words: int = 4) -> Column:
+    """C4-style segment-level cleaning (Raffel et al. 2020 §2.2, the
+    'three-sentence / five-word line' family of rules, applied at
+    sentence granularity): split on sentence boundaries, keep segments
+    with >= ``min_words`` words, rejoin. The boundary is the literal
+    '. ' (not a lookbehind — DuckDB's RE2 oracle engine has none), so
+    the same split is expressible everywhere. Higher-order array
+    functions only — single-arg lambdas throughout (multi-arg lambdas
+    bind the array index; see verify-skill gotcha)."""
+    segments = F.split(col, "\\. ")
+    kept = F.filter(
+        segments,
+        lambda s: F.size(
+            F.filter(F.split(s, " "), lambda w: w != F.lit(""))
+        )
+        >= F.lit(min_words),
+    )
+    return F.array_join(kept, ". ")

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.bpe import bpe_train, word_frequencies
+from ..operators.bpe import bpe_train_local, word_frequencies
 from ..sources.parquet_tables import table
 from .registry import register
 
@@ -32,14 +32,16 @@ _BINS = 20
     "frequency table of the documents corpus. Deterministic — exact "
     "integer pair counts, (count DESC, pair ASC) tie-break — so the "
     "merge table is reproducible on any engine; tests pin it against a "
-    "pure-Python BPE reference. At 100 TB the corpus is touched ONCE "
-    "(word-freq agg); all rounds run on the vocabulary-sized table "
-    "(Sennrich's trick), each round one pair-explode groupBy + a 1-row "
-    "argmax collect + a codegen fold merge.",
+    "pure-Python BPE reference AND against the all-Spark fold-merge "
+    "variant (operators/bpe.py:bpe_train). At 100 TB the corpus is "
+    "touched ONCE (word-freq agg); the serial merge loop runs on the "
+    "collected vocabulary-sized table (Sennrich's trick — the same "
+    "bounded-collect class as the IVF centroids), and the learned "
+    "table broadcasts back for distributed tokenization.",
 )
 def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return bpe_train(spark, word_frequencies(docs, top_n=200), n_merges=10)
+    return bpe_train_local(spark, word_frequencies(docs, top_n=200), n_merges=10)
 
 
 @register(

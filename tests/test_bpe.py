@@ -70,3 +70,13 @@ def test_bpe_registry_entry_runs(spark, sf_dir):
     out = query_map()["tx_bpe_merges"](spark, sf_dir).collect()
     assert 1 <= len(out) <= 10
     assert all(r["merged"] == r["pair_a"] + r["pair_b"] for r in out)
+
+
+def test_bpe_local_trainer_identical_to_distributed(spark, sf_dir):
+    from ingestion_pipeline_spark.operators.bpe import bpe_train_local
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = word_frequencies(docs, top_n=100)
+    dist = [tuple(r) for r in bpe_train(spark, words, n_merges=6).collect()]
+    local = [tuple(r) for r in bpe_train_local(spark, words, n_merges=6).collect()]
+    assert dist == local
