@@ -91,6 +91,8 @@ HEADLINE = [
     "tx_bpe_merges",
     "tx_unicode_normalize",
     "tx_c4_sentence_filter",
+    "t_global_dense_ids",
+    "pipeline_shard_manifest",
 ]
 
 

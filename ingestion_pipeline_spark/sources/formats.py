@@ -98,3 +98,25 @@ def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_evolving_parquet(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution scan: one logical table whose files were written
+    across schema generations (columns added over time — the normal
+    state of a years-old 100 TB archive). ``mergeSchema`` unions the
+    footer schemas at planning time; files lacking a column read NULL
+    for it. Costs one footer pass over the file listing — enable it
+    per-read like this, not globally."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def union_evolving(*dfs: DataFrame) -> DataFrame:
+    """Positional-blind union across schema generations:
+    ``unionByName(allowMissingColumns=True)`` folds any number of
+    frames, null-filling columns absent on either side. The in-memory
+    counterpart of ``read_evolving_parquet`` for sources that arrive as
+    separate DataFrames (e.g. per-day landing dirs)."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

@@ -91,3 +91,25 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     # the columnar contract: filters reach the ORC scan node
     plan = back.filter(F.col("o_orderkey") == 42).select("o_orderkey")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan or "o_orderkey" in plan
+
+
+def test_schema_evolution_merge_and_union(spark, tmp_path):
+    """Files written across schema generations read as one table:
+    mergeSchema unions footer schemas, old files read NULL for new
+    columns; union_evolving does the same for in-memory frames."""
+    gen1 = spark.createDataFrame([(1, "a")], "doc_id LONG, text STRING")
+    gen2 = spark.createDataFrame(
+        [(2, "b", "en")], "doc_id LONG, text STRING, lang STRING"
+    )
+    p1, p2 = str(tmp_path / "gen1"), str(tmp_path / "gen2")
+    gen1.write.parquet(p1)
+    gen2.write.parquet(p2)
+
+    merged = fmt.read_evolving_parquet(spark, p1, p2)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
+
+    unioned = fmt.union_evolving(gen1, gen2)
+    assert set(unioned.columns) == {"doc_id", "text", "lang"}
+    assert {r["doc_id"]: r["lang"] for r in unioned.collect()} == rows
