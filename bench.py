@@ -93,6 +93,8 @@ HEADLINE = [
     "tx_c4_sentence_filter",
     "t_global_dense_ids",
     "pipeline_shard_manifest",
+    "t_inverted_index",
+    "w_event_transitions",
 ]
 
 

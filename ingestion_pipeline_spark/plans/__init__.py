@@ -31,3 +31,4 @@ from . import registry_ext29  # noqa: F401  — cohort retention, RAG chunking, 
 from . import registry_ext30  # noqa: F401  — BPE merge training, equal-width histogram
 from . import registry_ext31  # noqa: F401  — unicode normalize, markup strip, C4 sentence filter
 from . import registry_ext32  # noqa: F401  — dense global ids, shard manifest
+from . import registry_ext33  # noqa: F401  — inverted index, event transitions
