@@ -71,22 +71,28 @@ _WEEK_US = 604_800 * 1_000_000  # epoch-week bucket in microseconds
     "the fact; AQE broadcasts it.",
 )
 def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         F.floor(F.unix_micros("ts") / F.lit(_WEEK_US)).alias("wk"),
     )
-    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    sizes = cohort.groupBy("cohort_wk").agg(
-        F.count(F.lit(1)).alias("cohort_size")
+    # cohort week as a per-user window MIN — no self-join back onto the
+    # fact: one user_id exchange, and the identical windowed subplan in
+    # the sizes branch is deduplicated by ReuseExchange
+    ev = ev.withColumn(
+        "cohort_wk", F.min("wk").over(Window.partitionBy("user_id"))
     )
-    active = (
-        ev.join(cohort, "user_id")
-        .groupBy(
-            "cohort_wk",
-            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
-        )
-        .agg(F.count_distinct("user_id").alias("n_active"))
+    sizes = (
+        ev.select("user_id", "cohort_wk")
+        .distinct()
+        .groupBy("cohort_wk")
+        .agg(F.count(F.lit(1)).alias("cohort_size"))
     )
+    active = ev.groupBy(
+        "cohort_wk",
+        (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_active"))
     return active.join(F.broadcast(sizes), "cohort_wk").select(
         "cohort_wk",
         "week_offset",

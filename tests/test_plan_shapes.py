@@ -1,0 +1,77 @@
+"""Shuffle-budget regression guard: for queries whose DESIGN CLAIM is a
+specific physical shape ("one shuffle", "broadcast, no fact exchange"),
+pin the executed plan's Exchange count to a budget. A code change that
+silently doubles shuffles — the classic scale regression, invisible at
+fixture sizes — fails here instead of in production.
+
+Budgets are ceilings (<=), so plan improvements never fail the suite.
+Counts include BroadcastExchange (cheap but still a plan feature); the
+point is the diff, not the absolute number.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ingestion_pipeline_spark.plans import query_map
+
+# name -> max Exchange nodes in the executed plan at sf0.001.
+# Each entry is a design claim from SCALE.md / the query docstring.
+EXCHANGE_BUDGETS = {
+    # single-pass wide agg: one partial/final shuffle
+    "q1_pricing_summary": 1,
+    # per-group top-k: one window shuffle, no global sort
+    "t_top3_orders_per_customer": 1,
+    # global top-k = TakeOrdered: NO exchange at all
+    "t_top_orders": 0,
+    # two windows sharing one user_id shuffle
+    "w_sessionize_events": 1,
+    "w_running_user_value": 1,
+    # exact dedup: one hash shuffle
+    "d_exact_dup_groups": 1,
+    # minhash: signature agg + banded self-join
+    "d_minhash_lsh_candidates": 5,
+    # probe broadcast, corpus never shuffles
+    "v_cosine_top8": 0,
+    "v_knn_join": 2,
+    # corpus-prep composite: bounded pipeline
+    "pipeline_corpus_prep": 8,
+    # pure projections: zero shuffle by construction
+    "tx_chunk_overlap": 0,
+    "tx_c4_sentence_filter": 0,
+    "tx_unicode_normalize": 0,
+    "v_quantize_int8": 0,
+    "tx_redact_pii": 0,
+    # window-min cohort derivation (no fact self-join)
+    "w_cohort_retention": 5,
+    # md5-keyed span groupBy: explode + one agg (+AQE read)
+    "d_duplicate_spans": 2,
+    # one lag window + small aggs
+    "w_event_transitions": 3,
+    # term-keyed aggs
+    "t_inverted_index": 2,
+    # per-source window + groups-sized offsets
+    "t_global_dense_ids": 4,
+    # BM25: stats broadcast, one scan + topk
+    "t_bm25_keyword_topk": 2,
+    # bounded-collect BPE: word-freq agg only (TakeOrdered + local)
+    "tx_bpe_merges": 0,
+    # salted join stays at the unsalted plan's two exchanges
+    "j_salted_brand_revenue": 2,
+    # sessionization / hourly rollups: one keyed shuffle each
+    "w_hourly_event_rollup": 1,
+    "w_session_window_rollup": 1,
+    "w_zscore_anomalies": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGETS))
+def test_exchange_budget(spark, sf_dir, name):
+    df = query_map()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange")
+    assert n <= EXCHANGE_BUDGETS[name], (
+        f"{name}: {n} Exchange nodes > budget {EXCHANGE_BUDGETS[name]} — "
+        "a shuffle regression; diff .explain('formatted') against the "
+        "shape documented in SCALE.md before raising the budget"
+    )
