@@ -292,3 +292,29 @@ def c4_sentence_filter(col: Column, min_words: int = 4) -> Column:
         >= F.lit(min_words),
     )
     return F.array_join(kept, ". ")
+
+
+def compression_ratio_udf(level: int = 6):
+    """zlib compression ratio (compressed/raw bytes) as a quality
+    signal: highly repetitive or templated text compresses far below
+    natural prose, and near-random noise refuses to compress —
+    both tails get gated in pretraining pipelines (the Gopher/RedPajama
+    family of heuristics alongside the repetition ratio). Deterministic
+    for a fixed zlib level, so results are reproducible; Arrow-batched,
+    shuffle-free. Empty/NULL text → NULL."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if not t:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return texts.map(one)
+
+    return ratio

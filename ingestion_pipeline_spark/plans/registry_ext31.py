@@ -100,3 +100,28 @@ def tx_c4_sentence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", c4_sentence_filter(F.col("text")).alias("text_kept")
     )
+
+
+@register(
+    "tx_compression_ratio",
+    None,  # no zlib in the oracle engine — rows-only; exact values
+    # pinned against direct python zlib in tests/test_text_normalize.py
+    "zlib compression ratio per document (level 6, deterministic) — "
+    "the compressibility quality gate: templated/looping text "
+    "compresses abnormally well, noise abnormally badly; both tails "
+    "get dropped in pretraining curation alongside the repetition "
+    "ratio (tx_repetition_ratio). Arrow-batched pandas UDF, "
+    "shuffle-free projection; the flag thresholds (0.35/0.9) ride in "
+    "the same pass.",
+)
+def tx_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import compression_ratio_udf
+
+    ratio = compression_ratio_udf(6)
+    docs = table(spark, sf_dir, "documents")
+    r = ratio(F.col("text"))
+    return docs.select(
+        "doc_id",
+        r.alias("zlib_ratio"),
+        ((r < 0.35) | (r > 0.9)).alias("flag_compressibility"),
+    )

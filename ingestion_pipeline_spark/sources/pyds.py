@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def fake_nvd_records(year: int, per_year: int) -> Iterator[tuple]:
@@ -85,6 +90,44 @@ class NvdRestDataSource(DataSource):
 
     def reader(self, schema) -> NvdRestReader:
         return NvdRestReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "NvdRestStreamReader":
+        return NvdRestStreamReader(self.options)
+
+
+class NvdRestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same connector (Spark 4 Python Data Source
+    streaming API): each micro-batch drains one year slice, the offset
+    is simply the next year to fetch — the incremental-catalog-poll
+    pattern (reference analog: the poll loop re-reading the NVD feed,
+    consumer/consumer.py:127-145, here with engine-managed offsets and
+    replay instead of auto-commit).
+
+    ``readBetweenOffsets`` replays any committed range deterministically
+    (the fetcher is pure), giving exactly-once into idempotent sinks —
+    the W2/W3 offset-checkpoint semantics for a CUSTOM source."""
+
+    def __init__(self, options: dict):
+        self.start_year = int(options.get("start_year", 2002))
+        self.end_year = int(options.get("end_year", 2004))
+        self.per_year = int(options.get("per_year", 20))
+
+    def initialOffset(self) -> dict:
+        return {"year": self.start_year}
+
+    def read(self, start: dict):
+        y = int(start["year"])
+        if y >= self.end_year:  # end_year exclusive, batch-reader parity
+            return [], start  # drained: offset stops advancing
+        # materialized list, not a generator: the simple-reader protocol
+        # PICKLES the rows into the prefetch cache
+        return list(fake_nvd_records(y, self.per_year)), {"year": y + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        out: list = []
+        for y in range(int(start["year"]), int(end["year"])):
+            out.extend(fake_nvd_records(y, self.per_year))
+        return out
 
 
 def register_nvd_source(spark) -> None:

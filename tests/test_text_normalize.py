@@ -75,3 +75,19 @@ def test_registry_entries_cover_fixture(spark, sf_dir):
     n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     for name in ("tx_unicode_normalize", "tx_strip_markup", "tx_c4_sentence_filter"):
         assert qm[name](spark, sf_dir).count() == n
+
+
+def test_compression_ratio_matches_zlib_and_flags(spark, sf_dir):
+    import zlib
+
+    rows = query_map()["tx_compression_ratio"](spark, sf_dir).collect()
+    docs = {r["doc_id"]: r["text"] for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    assert len(rows) == len(docs)
+    for r in rows:
+        raw = docs[r["doc_id"]].encode("utf-8")
+        if not raw:
+            assert r["zlib_ratio"] is None
+            continue
+        expect = len(zlib.compress(raw, 6)) / len(raw)
+        assert abs(r["zlib_ratio"] - expect) < 1e-12
+        assert r["flag_compressibility"] == (expect < 0.35 or expect > 0.9)
