@@ -46,6 +46,7 @@ from ..operators import similarity as sim
 from ..operators.relational import (
     broadcast_enrich,
     latest_per_key,
+    spread,
     topk,
     topk_per_group,
 )
@@ -732,7 +733,10 @@ def w_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(consumer/consumer.py:80-104 never-throw semantics).",
 )
 def p_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # JsonPath evaluation is the CPU cost here; a single-file fixture
+    # scan is 1 partition, so spread the parse across cores (no-op on
+    # split layouts — the spread() contract)
+    ev = spread(table(spark, sf_dir, "events"))
     k = jget_num("props", "$.k", 0.0)
     missing = F.get_json_object(F.col("props"), "$.missing")
     return ev.groupBy("event_type").agg(
