@@ -197,3 +197,63 @@ def test_fuzzy_join_matches_brute_force(spark, words):
         for r in fuzzy_self_join(df, "wid", "w").collect()
     }
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            max_size=700,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SLOW
+def test_chunk_overlap_reconstructs_any_text(spark, texts):
+    """For arbitrary unicode documents: stitched chunk prefixes
+    reconstruct the text exactly and chunk geometry holds (the
+    fixture-based test, generalized by hypothesis)."""
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id LONG, text STRING, n_chars LONG",
+    ).filter(F.col("n_chars") > 0)
+    offs = F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(150))
+    chunks = docs.select(
+        "doc_id", F.posexplode(offs).alias("idx", "off"), "text"
+    ).select(
+        "doc_id", "idx",
+        F.substring(F.col("text"), F.col("off") + 1, F.lit(200)).alias("c"),
+    ).collect()
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append((r["idx"], r["c"]))
+    for i, t in enumerate(texts):
+        if not t:
+            assert i not in by_doc
+            continue
+        got = [c for _, c in sorted(by_doc[i])]
+        assert "".join(c[:150] for c in got[:-1]) + got[-1] == t
+        assert len(got) == (len(t) + 149) // 150
+
+
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(min_value=1, max_value=5),
+)
+@SLOW
+def test_bpe_local_matches_reference_on_random_vocab(spark, words, n_merges):
+    """The driver-local trainer equals the pure-Python reference for
+    arbitrary word-frequency tables (adversarial overlaps like 'aaaa'
+    included)."""
+    from ingestion_pipeline_spark.operators.bpe import bpe_train_local
+    from tests.test_bpe import _python_bpe
+
+    wdf = spark.createDataFrame(list(words.items()), "word STRING, freq LONG")
+    got = [tuple(r) for r in bpe_train_local(spark, wdf, n_merges).collect()]
+    assert got == _python_bpe(words, n_merges)
