@@ -284,6 +284,10 @@ def dq_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import REGISTRY
 
+    # the edge list feeds three join legs; measured at sf0.1 AND the
+    # 10x smoke, a localCheckpoint here is a net LOSS (the eager
+    # materialization job costs more than the per-leg sweep recompute,
+    # which Arrow-batches cheaply) — so the plan stays lazy
     edges = (
         REGISTRY["d_embedding_near_dups"]
         .spark(spark, sf_dir)
