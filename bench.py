@@ -95,6 +95,7 @@ HEADLINE = [
     "pipeline_shard_manifest",
     "t_inverted_index",
     "w_event_transitions",
+    "j_point_in_time_enrich",
 ]
 
 

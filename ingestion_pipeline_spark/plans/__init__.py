@@ -32,3 +32,4 @@ from . import registry_ext30  # noqa: F401  — BPE merge training, equal-width 
 from . import registry_ext31  # noqa: F401  — unicode normalize, markup strip, C4 sentence filter
 from . import registry_ext32  # noqa: F401  — dense global ids, shard manifest
 from . import registry_ext33  # noqa: F401  — inverted index, event transitions
+from . import registry_ext34  # noqa: F401  — point-in-time (temporal) enrichment

@@ -44,3 +44,40 @@ def test_sql_frontend_matches_dataframe_plan(spark, sf_dir, name):
     via_df = query_map()[name](spark, sf_dir)
     assert sorted(via_sql.columns) == sorted(via_df.columns)
     assert _norm(via_sql) == _norm(via_df)
+
+
+def test_sql_function_registry_matches_column_library(spark, sf_dir):
+    """Engine functions called FROM SQL produce byte-identical results
+    to their Column-API originals — and the expression-backed ones
+    introduce no Python boundary."""
+    from ingestion_pipeline_spark.functions import text as tx
+    from ingestion_pipeline_spark.functions.sql_api import register_all
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    register_all(spark)
+
+    via_sql = spark.sql(
+        """SELECT doc_id, redact_pii(text) AS red, token_count(text) AS n,
+                  content_md5(text) AS h, fingerprint64(text) AS fp,
+                  unicode_nfc(text) AS nfc, zlib_ratio(text) AS zr
+           FROM documents"""
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    via_df = docs.select(
+        "doc_id",
+        tx.redact_pii(F.col("text")).alias("red"),
+        tx.token_count(F.col("text")).alias("n"),
+        tx.content_md5(F.col("text")).alias("h"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+        tx.unicode_normalize_udf("NFC")(F.col("text")).alias("nfc"),
+        tx.compression_ratio_udf(6)(F.col("text")).alias("zr"),
+    )
+    assert _norm(via_sql) == _norm(via_df)
+    # the SQL scalar UDFs inline: no BatchEvalPython/ArrowEvalPython for
+    # the expression-backed columns alone
+    plan = (
+        spark.sql("SELECT redact_pii(text) r, token_count(text) n FROM documents")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
