@@ -96,6 +96,7 @@ HEADLINE = [
     "t_inverted_index",
     "w_event_transitions",
     "j_point_in_time_enrich",
+    "mm_ahash_dup_groups",
 ]
 
 

@@ -203,3 +203,43 @@ def chunk_audio(media: DataFrame, chunk_ms: int = 10_000, bytes_per_ms: int = 32
         (F.col("chunk_idx") * chunk_bytes).alias("byte_start"),
         F.least(((F.col("chunk_idx") + 1) * chunk_bytes), F.col("length")).alias("byte_end"),
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("ahash32", LongType()),
+    ]
+)
+
+
+def average_hash32(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """Perceptual-hash plumbing for media dedup: a 32-bit average hash
+    (aHash) over the first 32 payload bytes — bit i set iff byte_i is
+    above the window mean (compared in exact integer space:
+    ``byte*32 > total``, no float threshold). On real pixels this is the
+    classic aHash of a 32-px thumbnail row; here it runs directly on
+    payload bytes so the whole path (Arrow batches, integer bit math,
+    hash-groupBy dedup downstream) is exercised and ORACLE-REPLAYABLE —
+    swap the byte window for decoded luma via ``extract_features``'s
+    injectable decoder in production. Payloads shorter than the window
+    hash to NULL (no padding lies)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, hashes = [], []
+            for path, content in zip(pdf["path"], pdf[content_col]):
+                b = bytes(content or b"")[:32]
+                if len(b) < 32:
+                    h = None
+                else:
+                    total = sum(b)
+                    h = 0
+                    for i, v in enumerate(b):
+                        if v * 32 > total:
+                            h |= 1 << (31 - i)
+                paths.append(path)
+                hashes.append(h)
+            yield pd.DataFrame({"path": paths, "ahash32": pd.array(hashes, dtype="Int64")})
+
+    return media.mapInPandas(run, AHASH_SCHEMA)

