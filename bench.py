@@ -97,6 +97,7 @@ HEADLINE = [
     "w_event_transitions",
     "j_point_in_time_enrich",
     "mm_ahash_dup_groups",
+    "w_time_weighted_avg",
 ]
 
 

@@ -34,3 +34,4 @@ from . import registry_ext32  # noqa: F401  — dense global ids, shard manifest
 from . import registry_ext33  # noqa: F401  — inverted index, event transitions
 from . import registry_ext34  # noqa: F401  — point-in-time (temporal) enrichment
 from . import registry_ext35  # noqa: F401  — perceptual-hash multimodal dedup
+from . import registry_ext36  # noqa: F401  — time-weighted average (LOCF)
