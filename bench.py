@@ -98,6 +98,7 @@ HEADLINE = [
     "j_point_in_time_enrich",
     "mm_ahash_dup_groups",
     "w_time_weighted_avg",
+    "d_span_dup_pairs",
 ]
 
 

@@ -27,7 +27,9 @@ operators.
   triangle exactly once with two equi-joins (the MapReduce
   node-iterator of Suri & Vassilvitskii 2011).
 
-All five carry exact DuckDB oracles.
+``d_span_dup_pairs`` completes the substring-dedup story: the pairing
+decision on top of the duplicated spans, with the hot-span frequency
+cap that bounds pair fan-out. All entries carry exact DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -312,3 +314,73 @@ def g_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # three 1-row aggregates — broadcast cross joins are free
     return tri.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_nodes))
+
+
+@register(
+    "d_span_dup_pairs",
+    """
+    WITH w AS (
+        SELECT doc_id, md5(substr(text, off + 1, 64)) AS span_md5
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, n_chars - 64, 32)) AS off
+            FROM documents WHERE n_chars >= 64
+        )
+    ),
+    spans AS (SELECT DISTINCT doc_id, span_md5 FROM w),
+    keep AS (
+        SELECT span_md5 FROM spans GROUP BY span_md5
+        HAVING COUNT(*) BETWEEN 2 AND 20
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_spans
+    FROM spans a
+    JOIN keep USING (span_md5)
+    JOIN spans b ON a.span_md5 = b.span_md5 AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+    "The dedup DECISION on top of d_duplicate_spans: doc pairs sharing "
+    ">= 3 distinct aligned 64-char windows — strong evidence of a "
+    "copied run (any shared run >= 160 chars guarantees 3 aligned "
+    "windows at stride 32). Spans occurring in > 20 docs are dropped "
+    "before pairing (the standard boilerplate/frequency cap — it "
+    "bounds per-span pair fan-out to C(20,2), making the self-join "
+    "linear in span count at any corpus size, the same discipline as "
+    "the LSH band join). Pairs then feed the shared cluster/keep-one "
+    "machinery (d_dup_clusters).",
+)
+def d_span_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 64)
+    offs = F.sequence(F.lit(0), F.col("n_chars") - 64, F.lit(32))
+    spans = (
+        docs.select("doc_id", "text", F.explode(offs).alias("off"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.substring(F.col("text"), F.col("off") + 1, F.lit(64))
+            ).alias("span_md5"),
+        )
+        .distinct()
+    )
+    keep = (
+        spans.groupBy("span_md5")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= 20))
+        .select("span_md5")
+    )
+    kept = spans.join(keep, "span_md5")
+    a = kept.alias("a")
+    b = spans.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.span_md5") == F.col("b.span_md5"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= 3)
+    )
