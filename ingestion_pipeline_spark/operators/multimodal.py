@@ -225,21 +225,23 @@ def average_hash32(media: DataFrame, content_col: str = "content") -> DataFrame:
     injectable decoder in production. Payloads shorter than the window
     hash to NULL (no padding lies)."""
 
+    import numpy as np
+
+    _weights = (1 << np.arange(31, -1, -1, dtype=np.int64))
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            paths, hashes = [], []
-            for path, content in zip(pdf["path"], pdf[content_col]):
-                b = bytes(content or b"")[:32]
-                if len(b) < 32:
-                    h = None
-                else:
-                    total = sum(b)
-                    h = 0
-                    for i, v in enumerate(b):
-                        if v * 32 > total:
-                            h |= 1 << (31 - i)
-                paths.append(path)
-                hashes.append(h)
-            yield pd.DataFrame({"path": paths, "ahash32": pd.array(hashes, dtype="Int64")})
+            contents = [bytes(c or b"") for c in pdf[content_col]]
+            ok = np.array([len(c) >= 32 for c in contents])
+            hashes = pd.array([None] * len(contents), dtype="Int64")
+            if ok.any():
+                # one (n, 32) uint8 matrix per Arrow batch: windows,
+                # integer totals, thresholds and bit-packs all vectorize
+                X = np.stack(
+                    [np.frombuffer(c[:32], dtype=np.uint8) for c, k in zip(contents, ok) if k]
+                ).astype(np.int64)
+                bits = (X * 32) > X.sum(axis=1, keepdims=True)
+                hashes[ok] = (bits * _weights).sum(axis=1)
+            yield pd.DataFrame({"path": pdf["path"].to_numpy(), "ahash32": hashes})
 
     return media.mapInPandas(run, AHASH_SCHEMA)

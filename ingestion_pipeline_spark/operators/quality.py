@@ -80,3 +80,21 @@ def split_by_expectations(
     clean = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
     quarantined = tagged.filter(F.size("failed_rules") > 0)
     return clean, quarantined
+
+
+def observed(df: DataFrame, name: str, metrics: Mapping[str, Column]):
+    """Single-pass pipeline observability via ``df.observe``: the named
+    aggregate metrics are computed DURING whatever action consumes the
+    returned frame — no second scan, no extra job, exactly the
+    run-ledger a production ingest wants (rows written, nulls seen,
+    value totals) at zero marginal cost. Returns ``(df, observation)``;
+    read ``observation.get`` AFTER an action has run.
+
+    At 100 TB this is the difference between "metrics are free" and
+    "metrics re-scan the input": the aggregates ride the existing
+    tasks, merge like any partial aggregation, and never change the
+    plan shape of the observed query."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(n) for n, c in metrics.items()]), obs

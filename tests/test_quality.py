@@ -65,3 +65,27 @@ def test_report_single_scan(df):
     # aggregate over the input per union branch but reuses the exchange
     plan = expectation_report(df, RULES())._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 1 or plan.count("Scan") <= 2
+
+
+def test_observed_metrics_ride_the_action(spark, sf_dir):
+    """df.observe metrics equal independently-computed aggregates and
+    cost no extra scan (same executed plan modulo the observe node)."""
+    from pyspark.sql import functions as F
+
+    from ingestion_pipeline_spark.operators.quality import observed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out, obs = observed(
+        docs,
+        "ingest_ledger",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_text": F.count(F.lit(1)) - F.count("text"),
+            "total_chars": F.sum("n_chars"),
+        },
+    )
+    written = out.filter(F.col("n_chars") >= 0).count()  # the consuming action
+    got = obs.get
+    assert got["n_rows"] == docs.count() == written + docs.filter(F.col("n_chars") < 0).count()
+    assert got["n_null_text"] == 0
+    assert got["total_chars"] == docs.agg(F.sum("n_chars")).first()[0]
