@@ -99,6 +99,7 @@ HEADLINE = [
     "mm_ahash_dup_groups",
     "w_time_weighted_avg",
     "d_span_dup_pairs",
+    "g_value_trend",
 ]
 
 

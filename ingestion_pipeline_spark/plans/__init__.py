@@ -35,3 +35,4 @@ from . import registry_ext33  # noqa: F401  — inverted index, event transition
 from . import registry_ext34  # noqa: F401  — point-in-time (temporal) enrichment
 from . import registry_ext35  # noqa: F401  — perceptual-hash multimodal dedup
 from . import registry_ext36  # noqa: F401  — time-weighted average (LOCF)
+from . import registry_ext37  # noqa: F401  — exact-sum trend/correlation statistics
