@@ -18,7 +18,14 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ONLY if the input is under-partitioned (e.g. one small
     parquet file → 1 task): heavy per-row column work would otherwise run
     on a single core. At scale the input already has ≥cores partitions
-    and this is a no-op — no shuffle is added."""
+    and this is a no-op — no shuffle is added.
+
+    The ``df.rdd`` probe forces physical planning on the driver (~10s of
+    ms, once per query BUILD, never per row) — kept deliberately: it is
+    the only way to read the true scan partition count, and every
+    heuristic alternative (inputFiles, defaultParallelism guesses) is
+    wrong exactly when this function matters (few big files, splittable
+    or not by row-group layout)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -242,3 +242,53 @@ def lsh_topk_join(
     return topk_per_group(
         cand.drop("__probe_vec", "__corpus_vec"), [probe_id], [F.col("sim").desc(), F.col("vec_id").asc()], k
     ).drop("rank")
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    lam: float = 0.7,
+) -> list[tuple[int, float, float]]:
+    """Maximal-marginal-relevance diversification (Carbonell & Goldstein
+    1998) over a RETRIEVED candidate set: greedily pick the item
+    maximizing ``lam*relevance - (1-lam)*max_sim_to_already_selected``.
+
+    The selection is inherently serial over a candidate set that is
+    top-N-bounded by construction (the preceding retrieval stage), so
+    this runs driver-side on the collected candidates — the same
+    bounded-collect class as the IVF centroids and the BPE vocab table;
+    the distributed work is the retrieval that produced the candidates.
+    Deterministic: 6dp-rounded cosines, ties by id. Returns
+    ``[(id, relevance, mmr_score), ...]`` in selection order."""
+    import numpy as np
+
+    rows = candidates.select(id_col, "sim", vec_col).collect()
+    if not rows:
+        return []
+    ids = [r[id_col] for r in rows]
+    rel = [float(r["sim"]) for r in rows]
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    pair = np.round(X @ X.T, 6)
+
+    selected: list[int] = []
+    out: list[tuple[int, float, float]] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(out) < k:
+        best = None
+        for i in remaining:
+            penalty = max((pair[i, j] for j in selected), default=0.0)
+            score = round(lam * rel[i] - (1 - lam) * penalty, 9)
+            cand = (-score, ids[i], i)
+            if best is None or cand < best:
+                best = cand
+        _, _, i = best
+        selected.append(i)
+        remaining.remove(i)
+        penalty = max((pair[i, j] for j in selected[:-1]), default=0.0)
+        out.append(
+            (ids[i], rel[i], float(round(lam * rel[i] - (1 - lam) * penalty, 9)))
+        )
+    return out

@@ -36,3 +36,4 @@ from . import registry_ext34  # noqa: F401  — point-in-time (temporal) enrichm
 from . import registry_ext35  # noqa: F401  — perceptual-hash multimodal dedup
 from . import registry_ext36  # noqa: F401  — time-weighted average (LOCF)
 from . import registry_ext37  # noqa: F401  — exact-sum trend/correlation statistics
+from . import registry_ext38  # noqa: F401  — MMR diversified retrieval
