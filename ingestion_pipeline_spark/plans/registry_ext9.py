@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.exact import dec
-from ..operators.relational import spread
 from ..sources.parquet_tables import table
 from .registry import register
 

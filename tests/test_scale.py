@@ -6,7 +6,6 @@ registry query."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from ingestion_pipeline_spark.sinks import write_bucketed

@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import json
 
-import pytest
 from pyspark.sql import functions as F
 
 from ingestion_pipeline_spark.streaming.joins import (
