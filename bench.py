@@ -100,6 +100,7 @@ HEADLINE = [
     "w_time_weighted_avg",
     "d_span_dup_pairs",
     "g_value_trend",
+    "v_chunk_sum_pool",
 ]
 
 

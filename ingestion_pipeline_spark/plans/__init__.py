@@ -37,3 +37,4 @@ from . import registry_ext35  # noqa: F401  — perceptual-hash multimodal dedup
 from . import registry_ext36  # noqa: F401  — time-weighted average (LOCF)
 from . import registry_ext37  # noqa: F401  — exact-sum trend/correlation statistics
 from . import registry_ext38  # noqa: F401  — MMR diversified retrieval
+from . import registry_ext39  # noqa: F401  — chunk→embed→pool long-doc embedding
