@@ -89,3 +89,36 @@ def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
 
     batch = spark.read.schema(EVENT_SCHEMA).json(str(src))
     assert dedup_within_watermark(batch, ["event_id"]).count() == 2
+
+
+def test_stream_to_static_dimension_enrichment(spark, tmp_path):
+    """Stream-static join (S11 under streaming): each micro-batch of the
+    event stream broadcast-joins a static dimension table — no state
+    store, no watermark needed (the static side is re-resolvable per
+    batch). Results must equal the batch join of the same inputs."""
+    src = _write_events(tmp_path, ROWS, "ev_static_join")
+    users = spark.createDataFrame(
+        [(1, "pro"), (2, "free")], "user_id LONG, tier STRING"
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    enriched = (
+        stream.join(F.broadcast(users), "user_id", "left")
+        .withColumn("tier", F.coalesce("tier", F.lit("unknown")))
+        .select("event_id", "user_id", "tier")
+    )
+    assert enriched.isStreaming
+    _drain(enriched, "enriched_stream")
+    got = {
+        r["event_id"]: r["tier"]
+        for r in spark.sql("SELECT * FROM enriched_stream").collect()
+    }
+    batch = spark.read.schema(EVENT_SCHEMA).json(src)
+    expect = {
+        r["event_id"]: r["tier"]
+        for r in batch.join(F.broadcast(users), "user_id", "left")
+        .withColumn("tier", F.coalesce("tier", F.lit("unknown")))
+        .select("event_id", "tier")
+        .collect()
+    }
+    assert got == expect
+    assert got[6] == "unknown"  # user 3 not in the dim -> sentinel
