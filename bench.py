@@ -4,8 +4,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed twice and the best time kept (first run pays
-one-off file-listing / codegen costs that a warm cluster amortizes).
+Each query is executed three times and the best time kept (early runs
+pay one-off file-listing / codegen / JIT costs that a warm cluster
+amortizes).
 """
 
 from __future__ import annotations
@@ -125,7 +126,10 @@ def main() -> None:
         try:
             fn = qs[name]
             best = float("inf")
-            for _ in range(2):
+            # best-of-3: run 1 pays file-listing/codegen, run 2 can still
+            # catch a JIT compile — observed 3x spikes on subquery-heavy
+            # plans with best-of-2 (q21 4.3s cold vs 1.4s warm)
+            for _ in range(3):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 # noop sink executes the FULL plan (count() would let
