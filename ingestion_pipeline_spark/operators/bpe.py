@@ -155,3 +155,45 @@ def bpe_train_local(
     return spark.createDataFrame(
         merges, "merge_rank INT, pair_a STRING, pair_b STRING, merged STRING, pair_count BIGINT"
     )
+
+
+def bpe_tokenize_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list to tokenize documents — the inverse of
+    training, as PURE PLAN: for each document, lowercase-alpha words →
+    per-word character symbols → the merge sequence applied as UNROLLED
+    chained folds (one ``_merge_pair`` expression per merge, evaluated
+    in whole-stage codegen — no Python, no loop at runtime; the merge
+    list is plan-time data, exactly like a broadcast literal).
+
+    Emits per-doc token accounting (words, BPE tokens, compression vs
+    character count) — the budget numbers sequence packing and
+    token-budget selection consume. Cost: one projection over the
+    corpus; merge-list length only widens the expression, not the data
+    flow. Greedy left-to-right application per merge in training order —
+    the standard BPE apply semantics, pinned against a Python reference
+    in tests."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda w: w != F.lit(""),
+    )
+
+    def tokenize_word(w):
+        sym = F.split(w, "")
+        for a, b in merges:
+            sym = _merge_pair(sym, a, b)
+        return sym
+
+    n_tokens = F.aggregate(
+        F.transform(words, lambda w: F.size(tokenize_word(w))),
+        F.lit(0),
+        lambda acc, n: acc + n,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        n_tokens.alias("n_bpe_tokens"),
+    )

@@ -93,3 +93,25 @@ def g_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "tx_bpe_tokenize",
+    None,  # merge list is an iterative-training artifact — rows-only;
+    # application semantics pinned vs a Python reference in test_bpe.py
+    "BPE tokenizer APPLICATION as pure plan: the learned merge list "
+    "(tx_bpe_merges) unrolls into chained codegen fold expressions — "
+    "one per merge, no Python at runtime — emitting per-doc word/BPE-"
+    "token counts, the budget numbers sequence packing and token-"
+    "budget selection consume. One corpus projection; the merge count "
+    "widens the expression, never the data flow.",
+)
+def tx_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_tokenize_counts
+
+    docs = table(spark, sf_dir, "documents")
+    learned = bpe_train_local(
+        spark, word_frequencies(docs, top_n=200), n_merges=10
+    ).collect()
+    merges = [(r["pair_a"], r["pair_b"]) for r in learned]
+    return bpe_tokenize_counts(docs, merges)

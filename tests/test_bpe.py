@@ -80,3 +80,43 @@ def test_bpe_local_trainer_identical_to_distributed(spark, sf_dir):
     dist = [tuple(r) for r in bpe_train(spark, words, n_merges=6).collect()]
     local = [tuple(r) for r in bpe_train_local(spark, words, n_merges=6).collect()]
     assert dist == local
+
+
+def test_bpe_tokenize_counts_match_python_apply(spark, sf_dir):
+    """Unrolled-fold merge application == Python greedy BPE apply, doc
+    by doc, and merging can only shrink token counts (bounded below by
+    n_words when every word fully merges)."""
+    import re
+
+    from ingestion_pipeline_spark.operators.bpe import (
+        bpe_tokenize_counts,
+        bpe_train_local,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    learned = bpe_train_local(spark, word_frequencies(docs, top_n=100), n_merges=8).collect()
+    merges = [(r["pair_a"], r["pair_b"]) for r in learned]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_tokenize_counts(docs, merges).collect()
+    }
+
+    def apply_word(w):
+        sym = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    for r in docs.collect():
+        ws = [w for w in re.split(r"[^a-z]+", r["text"].lower()) if w]
+        n_tok = sum(len(apply_word(w)) for w in ws)
+        assert got[r["doc_id"]] == (len(ws), n_tok)
+        assert len(ws) <= n_tok <= sum(len(w) for w in ws)
