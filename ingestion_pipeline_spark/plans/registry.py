@@ -792,7 +792,9 @@ def x_cve_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "truncation (chatbot/main.py:155-160).",
 )
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # higher-order-function-heavy projection: spread the single-file
+    # fixture scan across cores (no-op on split layouts)
+    docs = spread(table(spark, sf_dir, "documents"))
     toks = tx.word_tokens(F.lower(F.col("text")))
     return docs.select(
         "doc_id",
