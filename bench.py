@@ -102,6 +102,7 @@ HEADLINE = [
     "d_span_dup_pairs",
     "g_value_trend",
     "v_chunk_sum_pool",
+    "dq_psi_drift",
 ]
 
 

@@ -42,6 +42,7 @@ NLJ_ALLOWED = {
     "v_negative_samples",  # tiny anchor set broadcast x corpus on label<>: by design
     "g_triangle_counts",   # 1-row edge/node-count aggregates broadcast onto 1-row triangle count
     "g_histogram_totalprice",  # 1-row (min, max) bounds broadcast onto the scan
+    "dq_psi_drift",        # 1-row bounds/totals/psi-total broadcasts onto |bins| rows
     "tx_bpe_merges",       # merge table materialized via createDataFrame (scan-free plan)
     "entry",
 }
