@@ -158,12 +158,19 @@ def test_partitioned_write_prunes_on_date_filter(spark, sf_dir, tmp_path):
     target = months[0]
 
     pruned = spark.read.parquet(path).filter(F.col("month") == target)
-    files = pruned.inputFiles()
-    assert files, "scan resolved no files"
-    assert all(f"month={target}" in f for f in files)
-    all_files = spark.read.parquet(path).inputFiles()
-    assert len(files) < len(all_files)
-    # the month predicate is satisfied by pruning: PartitionFilters
-    # carries it and no data-filter on month remains
+    # the month predicate lands in PartitionFilters (directory pruning),
+    # NOT PushedFilters (row-level evaluation) — the scan never plans
+    # the other months' files. (inputFiles() reflects the unpruned
+    # FileIndex, so the plan string is the right witness.)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert f"month={target}" in plan or "PartitionFilters" in plan
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "PartitionFilters: [" in scan_line
+    pf = scan_line.split("PartitionFilters: [", 1)[1]
+    assert "month" in pf.split("]", 1)[0]
+    assert f"month = {target}" in pf or target in pf
+    # and the pruned result is exactly that month's rows
+    per_month = {
+        r["month"]: r["n"]
+        for r in spark.read.parquet(path).groupBy("month").agg(F.count("*").alias("n")).collect()
+    }
+    assert pruned.count() == per_month[target]
