@@ -210,3 +210,40 @@ def compact_parquet(
             if os.path.isfile(f)
         ]
     )
+
+
+def jdbc_idempotent_batch_writer(
+    url: str,
+    table: str,
+    driver: str | None = None,
+    num_partitions: int | None = 1,
+):
+    """Streaming → JDBC warehouse bridge: a ``foreachBatch`` function
+    that lands each micro-batch tagged with its ``batch_id`` and SKIPS
+    batches already present — so Spark's checkpoint-driven replay
+    (restart, retry) converges instead of duplicating. Check-then-write
+    is effectively-once: the duplication window between the data append
+    and a crash is closed only by a transactional target (MERGE on a
+    real warehouse; Derby here is the wire-level stand-in), which is
+    exactly where the reference's auto-commit consumer
+    (consumer/consumer.py:22,45) silently duplicates instead."""
+    from pyspark.sql import functions as F
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            seen = {
+                r["batch_id"]
+                for r in jdbc_read(spark, url, table, driver=driver)
+                .select("batch_id")
+                .distinct()
+                .collect()
+            }
+        except Exception:  # noqa: BLE001 — table does not exist yet
+            seen = set()
+        if batch_id in seen:
+            return
+        tagged = batch.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        jdbc_append(tagged, url, table, driver=driver, num_partitions=num_partitions)
+
+    return write_batch
