@@ -103,6 +103,7 @@ HEADLINE = [
     "g_value_trend",
     "v_chunk_sum_pool",
     "dq_psi_drift",
+    "v_lsh_recall_at_k",
 ]
 
 

@@ -39,3 +39,4 @@ from . import registry_ext37  # noqa: F401  — exact-sum trend/correlation stat
 from . import registry_ext38  # noqa: F401  — MMR diversified retrieval
 from . import registry_ext39  # noqa: F401  — chunk→embed→pool long-doc embedding
 from . import registry_ext40  # noqa: F401  — PSI distribution-drift monitor
+from . import registry_ext41  # noqa: F401  — LSH recall@k retrieval evaluation
