@@ -108,8 +108,12 @@ def g_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tx_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_tokenize_counts
+    from ..operators.relational import spread
 
-    docs = table(spark, sf_dir, "documents")
+    # higher-order functions evaluate INTERPRETED (not codegen) — the
+    # fold-per-merge expression is CPU-bound, so a single-file scan
+    # must spread across cores (10x smoke: 40s on 1 partition -> ~3s)
+    docs = spread(table(spark, sf_dir, "documents"))
     learned = bpe_train_local(
         spark, word_frequencies(docs, top_n=200), n_merges=10
     ).collect()

@@ -84,9 +84,10 @@ from .registry import register
 def v_chunk_sum_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.embed import embedding_udf, hashing_embedder
 
+    # full spread (not the min_partitions=8 cap): the per-chunk embed
+    # is the model-call cost center and grows with corpus size
     docs = spread(
-        table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0),
-        min_partitions=8,
+        table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     )
     offs = F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(150))
     chunks = docs.select(
