@@ -113,3 +113,31 @@ def test_schema_evolution_merge_and_union(spark, tmp_path):
     unioned = fmt.union_evolving(gen1, gen2)
     assert set(unioned.columns) == {"doc_id", "text", "lang"}
     assert {r["doc_id"]: r["lang"] for r in unioned.collect()} == rows
+
+
+def test_corrupt_parquet_file_tolerance(spark, tmp_path):
+    """Operational resilience on directory scans: with
+    spark.sql.files.ignoreCorruptFiles, a truncated/garbage parquet
+    file in a 100k-file directory costs its own rows, not the job —
+    the batch counterpart of the streaming quarantine (W7). Default
+    behavior (fail loudly) is also asserted, because silent data loss
+    must be an explicit opt-in."""
+    import pytest
+
+    path = tmp_path / "tbl"
+    spark.range(0, 10).write.parquet(str(path))
+    spark.range(10, 20).write.mode("append").parquet(str(path))
+    # clobber one data file with garbage
+    victim = next(p for p in path.iterdir() if p.name.endswith(".parquet"))
+    victim.write_bytes(b"not a parquet file at all")
+
+    with pytest.raises(Exception):
+        spark.read.parquet(str(path)).count()  # loud by default
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        got = sorted(r["id"] for r in spark.read.parquet(str(path)).collect())
+        assert 0 < len(got) < 20  # lost only the clobbered file's rows
+        assert got == sorted(set(got))
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
