@@ -360,3 +360,68 @@ def incremental_novel(
         .distinct()
     )
     return exact_novel.join(near_ids, id_col, "left_anti").drop("_chash")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Asymmetric near-dup detection: containment
+    C = |A∩B| / min(|A|, |B|) over word-shingle sets — the measure that
+    catches a SHORT document embedded in a LONG one (quotes, excerpts,
+    concatenated dumps), which Jaccard structurally misses: a 50-shingle
+    doc fully inside a 1000-shingle doc has J ≈ 0.05 but C = 1.0.
+    Same inverted-index posting join as ``jaccard_pairs`` (explode →
+    (block, shingle) equi-join → count; identical scale properties),
+    plus the containment DIRECTION: ``contained_id`` is the smaller
+    side, ties to the lower id."""
+    if threshold <= 0:
+        raise ValueError("containment_pairs requires threshold > 0")
+    from ..functions.text import word_shingles_np
+
+    sh_udf = word_shingles_np(shingle_n, split=r"\s+").asNondeterministic()
+    tok = (
+        spread(df)
+        .select(
+            F.col(block_col).alias("block"),
+            F.col(id_col).alias("doc"),
+            sh_udf(F.col(text_col)).alias("__sh"),
+        )
+        .select(
+            "block",
+            "doc",
+            F.size(F.col("__sh")).alias("n"),
+            F.explode(F.col("__sh")).alias("s"),
+        )
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    counted = (
+        a.hint("merge")
+        .join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return counted.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter").cast("double") / F.least("na", "nb"), 6
+        ).alias("containment"),
+        F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("contained_id"),
+    ).filter(F.col("containment") >= threshold)

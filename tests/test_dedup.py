@@ -73,3 +73,30 @@ def test_fixture_corpus_has_no_exact_dups(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     groups = dd.exact_dup_groups(docs, "text", "doc_id")
     assert groups.filter(F.col("n_copies") > 1).count() == 0
+
+
+def test_containment_catches_short_inside_long(spark):
+    """The measure's reason to exist: a short doc fully quoted inside a
+    long one scores containment 1.0 while Jaccard stays small — and the
+    contained side is identified."""
+    from ingestion_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    long_doc = filler + " " + short
+    df = spark.createDataFrame(
+        [(1, short, "b"), (2, long_doc, "b"), (3, "totally unrelated words here now", "b")],
+        "doc_id long, text string, block string",
+    )
+    cont = containment_pairs(df, "text", "doc_id", "block", threshold=0.9).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["id_a"], r["id_b"], r["contained_id"]) == (1, 2, 1)
+    assert r["containment"] == 1.0
+
+    jac = jaccard_pairs(df, "text", "doc_id", "block", threshold=0.01).collect()
+    j12 = next(x["jaccard"] for x in jac if (x["id_a"], x["id_b"]) == (1, 2))
+    assert j12 < 0.1  # jaccard structurally misses it
