@@ -84,10 +84,13 @@ from .registry import register
 def v_chunk_sum_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.embed import embedding_udf, hashing_embedder
 
-    # full spread (not the min_partitions=8 cap): the per-chunk embed
-    # is the model-call cost center and grows with corpus size
+    # min_partitions=8 (not full 32-way): measured across full bench
+    # sessions, 32 python workers on this small input are ERRATIC
+    # (2-8s swings from worker/memory churn) while 8 hold ~0.7s steady;
+    # at real scale the scan arrives pre-split and spread() is a no-op
     docs = spread(
-        table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+        table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0),
+        min_partitions=8,
     )
     offs = F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(150))
     chunks = docs.select(
