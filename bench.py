@@ -104,6 +104,8 @@ HEADLINE = [
     "v_chunk_sum_pool",
     "dq_psi_drift",
     "v_lsh_recall_at_k",
+    "d_containment_pairs",
+    "d_split_leakage_check",
 ]
 
 
