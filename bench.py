@@ -106,6 +106,7 @@ HEADLINE = [
     "v_lsh_recall_at_k",
     "d_containment_pairs",
     "d_split_leakage_check",
+    "p_variant_extraction",
 ]
 
 

@@ -42,3 +42,4 @@ from . import registry_ext40  # noqa: F401  — PSI distribution-drift monitor
 from . import registry_ext41  # noqa: F401  — LSH recall@k retrieval evaluation
 from . import registry_ext42  # noqa: F401  — asymmetric containment dedup
 from . import registry_ext43  # noqa: F401  — split-leakage audit
+from . import registry_ext44  # noqa: F401  — native VARIANT semi-structured type

@@ -141,3 +141,41 @@ def test_corrupt_parquet_file_tolerance(spark, tmp_path):
         assert got == sorted(set(got))
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
+
+def test_variant_column_parquet_roundtrip(spark, tmp_path):
+    """The K1 warehouse story with Spark 4's native VariantType: a
+    parsed-once VARIANT column survives a parquet write/read and typed
+    path extraction works on the read-back side — the Snowflake
+    PARSE_JSON storage model, in-engine. Heterogeneous shapes per row
+    (the point of VARIANT) included."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "tags": ["a", "b"], "meta": {"x": 1.5}}'),
+            (2, '{"k": "not-an-int", "extra": true}'),
+            (3, '[1, 2, 3]'),
+            (4, 'null'),
+        ],
+        "id LONG, raw STRING",
+    )
+    path = str(tmp_path / "variant_tbl")
+    df.select("id", F.parse_json("raw").alias("v")).write.parquet(path)
+
+    back = spark.read.parquet(path)
+    assert back.schema["v"].dataType.typeName() == "variant"
+    got = {
+        r["id"]: (r["k"], r["x"], r["arr1"], r["as_text"])
+        for r in back.select(
+            "id",
+            F.try_variant_get("v", "$.k", "long").alias("k"),
+            F.try_variant_get("v", "$.meta.x", "double").alias("x"),
+            F.try_variant_get("v", "$[1]", "long").alias("arr1"),
+            F.to_json("v").alias("as_text"),
+        ).collect()
+    }
+    assert got[1] == (7, 1.5, None, '{"k":7,"meta":{"x":1.5},"tags":["a","b"]}')
+    assert got[2][0] is None  # typed get on a string value: NULL, never throw
+    assert got[3][2] == 2     # top-level arrays are first-class
+    assert got[4][3] == "null"
