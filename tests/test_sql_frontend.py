@@ -81,3 +81,30 @@ def test_sql_function_registry_matches_column_library(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_sql_pipe_syntax_matches_classic(spark, sf_dir):
+    """Spark 4 SQL pipe syntax (|>) is part of the SQL front end: a
+    piped filter→aggregate→order chain must equal the classic
+    formulation — same Catalyst plan space, third surface after
+    DataFrame and classic SQL."""
+    register_views(spark, sf_dir)
+    piped = spark.sql(
+        """
+        FROM orders
+        |> WHERE o_totalprice > 100000
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+    classic = spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_totalprice > 100000
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+    assert _norm(piped) == _norm(classic)
