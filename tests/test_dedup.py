@@ -100,3 +100,29 @@ def test_containment_catches_short_inside_long(spark):
     jac = jaccard_pairs(df, "text", "doc_id", "block", threshold=0.01).collect()
     j12 = next(x["jaccard"] for x in jac if (x["id_a"], x["id_b"]) == (1, 2))
     assert j12 < 0.1  # jaccard structurally misses it
+
+
+def test_collated_grouping_matches_lowercase_dedup(spark):
+    """Spark 4 collations as a dedup tool: grouping under UTF8_LCASE
+    merges case variants natively — same groups as the explicit
+    lower() normalization the md5 content-hash path uses, without
+    materializing a normalized column."""
+    df = spark.createDataFrame(
+        [(1, "Fix The Bug"), (2, "fix the bug"), (3, "FIX THE BUG"), (4, "other doc")],
+        "doc_id LONG, text STRING",
+    )
+    df.createOrReplaceTempView("cdocs")
+    collated = {
+        (r["n"], r["m"])
+        for r in spark.sql(
+            """SELECT COUNT(*) AS n, MIN(doc_id) AS m FROM cdocs
+               GROUP BY COLLATE(text, 'UTF8_LCASE')"""
+        ).collect()
+    }
+    lowered = {
+        (r["n"], r["m"])
+        for r in df.groupBy(F.lower("text"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("m"))
+        .collect()
+    }
+    assert collated == lowered == {(3, 1), (1, 4)}
