@@ -107,6 +107,8 @@ HEADLINE = [
     "d_containment_pairs",
     "d_split_leakage_check",
     "p_variant_extraction",
+    "s_target_encoding",
+    "dq_median_impute",
 ]
 
 

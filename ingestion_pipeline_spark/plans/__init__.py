@@ -43,3 +43,4 @@ from . import registry_ext41  # noqa: F401  — LSH recall@k retrieval evaluatio
 from . import registry_ext42  # noqa: F401  — asymmetric containment dedup
 from . import registry_ext43  # noqa: F401  — split-leakage audit
 from . import registry_ext44  # noqa: F401  — native VARIANT semi-structured type
+from . import registry_ext45  # noqa: F401  — ML feature prep: target encoding, median imputation
