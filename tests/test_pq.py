@@ -113,3 +113,30 @@ def test_adc_score_orders_like_dot_product(spark, emb, books):
     # measured ~0.73 on the random fixture; real embeddings correlate
     # far higher. The two-stage rerank makes final sims exact either way.
     assert corr > 0.6
+
+
+def test_ivfadc_composition_recall(spark, sf_dir):
+    """The composed IVF->ADC->rerank pipeline returns 8 results with
+    reasonable recall vs exact top-8 (pruning to nprobe=4 of 16 cells
+    plus PQ approximation can miss some — but never most — neighbors),
+    and every returned sim is exact (the rerank stage recomputes true
+    cosine)."""
+    from ingestion_pipeline_spark.operators.similarity import brute_force_topk
+    from ingestion_pipeline_spark.plans import query_map
+    from ingestion_pipeline_spark.plans.registry import _probe
+    from pyspark.sql import functions as F
+
+    out = query_map()["v_ivfadc_topk"](spark, sf_dir).collect()
+    assert len(out) == 8
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        r["vec_id"]: r["sim"]
+        for r in brute_force_topk(
+            emb, "embedding", _probe(spark, sf_dir), k=8, exclude_id=0
+        ).collect()
+    }
+    hits = [r for r in out if r["vec_id"] in exact]
+    assert len(hits) >= 4  # recall@8 >= 0.5 through both approximations
+    # reranked sims are EXACT where ids overlap
+    for r in hits:
+        assert abs(r["sim"] - exact[r["vec_id"]]) < 1e-9
