@@ -109,6 +109,8 @@ HEADLINE = [
     "p_variant_extraction",
     "s_target_encoding",
     "dq_median_impute",
+    "tx_bpe_tokenize",
+    "v_ivfadc_topk",
 ]
 
 

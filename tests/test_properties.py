@@ -257,3 +257,45 @@ def test_bpe_local_matches_reference_on_random_vocab(spark, words, n_merges):
     wdf = spark.createDataFrame(list(words.items()), "word STRING, freq LONG")
     got = [tuple(r) for r in bpe_train_local(spark, wdf, n_merges).collect()]
     assert got == _python_bpe(words, n_merges)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab cd", min_size=10, max_size=60),
+        min_size=2,
+        max_size=6,
+    )
+)
+@SLOW
+def test_containment_matches_bruteforce(spark, docs):
+    """containment_pairs equals the brute-force shingle-set definition
+    on arbitrary small corpora (including degenerate all-same-word
+    texts), and never emits zero-overlap pairs."""
+    from ingestion_pipeline_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, t, "b") for i, t in enumerate(docs)],
+        "doc_id long, text string, block string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["contained_id"])
+        for r in containment_pairs(df, "text", "doc_id", "block", threshold=0.3).collect()
+    }
+
+    def shingles(t):
+        ws = [w for w in t.lower().split() if w]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sh = {i: shingles(t) for i, t in enumerate(docs)}
+    expect = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            if not sh[a] or not sh[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            c = round(inter / min(len(sh[a]), len(sh[b])), 6)
+            if c >= 0.3:
+                expect[(a, b)] = (c, a if len(sh[a]) <= len(sh[b]) else b)
+    assert got == expect
