@@ -97,3 +97,51 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     right = spark.createDataFrame([("a", 10)], "k string, v long")
     out = {r["id"]: r["v"] for r in salted_join(left, right, "k", n_salts=3, how="left").collect()}
     assert out == {1: 10, 2: None, 3: None}
+
+
+def test_dense_global_ids_stable_under_repartition(spark, sf_dir):
+    """The t_global_dense_ids design claim: the decomposed numbering is
+    a pure function of the data — identical ids under any physical
+    layout (repartition(1), repartition(16), default scan)."""
+    from pyspark.sql import functions as F
+
+    from ingestion_pipeline_spark.plans import query_map
+
+    fn = query_map()["t_global_dense_ids"]
+    base = {(r["doc_id"], r["global_id"]) for r in fn(spark, sf_dir).collect()}
+    # ids are dense 1..N
+    ids = sorted(g for _, g in base)
+    assert ids == list(range(1, len(ids) + 1))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for n_parts in (1, 16):
+        shuffled = docs.repartition(n_parts)
+        shuffled.createOrReplaceTempView("documents_shuffled")
+        # re-derive through the same decomposition on the shuffled frame
+        from pyspark.sql.window import Window
+
+        offsets = (
+            shuffled.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "offset",
+                F.coalesce(
+                    F.sum("n").over(
+                        Window.orderBy("source").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("source", "offset")
+        )
+        rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+        got = {
+            (r["doc_id"], r["global_id"])
+            for r in shuffled.withColumn("rn", rn)
+            .join(F.broadcast(offsets), "source")
+            .select("doc_id", (F.col("offset") + F.col("rn")).alias("global_id"))
+            .collect()
+        }
+        assert got == base

@@ -24,6 +24,7 @@ def main() -> int:
     ap.add_argument("--limit", type=int, default=20)
     ap.add_argument("--list", action="store_true", help="list queries")
     ap.add_argument("--explain", action="store_true", help="formatted plan instead of rows")
+    ap.add_argument("--oracle", action="store_true", help="print the DuckDB oracle SQL and exit")
     args = ap.parse_args()
 
     from ingestion_pipeline_spark.plans import REGISTRY, query_map
@@ -43,6 +44,11 @@ def main() -> int:
         near = difflib.get_close_matches(args.name, qm, n=3)
         print(f"unknown query {args.name!r}" + (f"; did you mean: {', '.join(near)}" if near else ""))
         return 2
+
+    if args.oracle:
+        spec = REGISTRY[args.name]
+        print(spec.sql.strip() if spec.sql else f"# {args.name} is rows-only (no SQL oracle)")
+        return 0
 
     spark = get_spark("run-query")
     t0 = time.perf_counter()
