@@ -220,3 +220,31 @@ def test_streaming_foreachbatch_jdbc_idempotent(spark, tmp_path):
     # a NEW batch id still lands
     writer(replayed.limit(1), max(int(b) for b in batch_ids) + 1)
     assert jdbc_read(spark, url, "events_wh", driver=driver).count() == 4
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: an overwrite carrying only one
+    month's rows rewrites THAT partition and leaves the others intact —
+    the O(delta) month-level rewrite warehouse_upsert's docstring
+    promises for partitioned tables (static mode would truncate the
+    whole table first; also asserted)."""
+    path = str(tmp_path / "dyn_wh")
+    df1 = spark.createDataFrame(
+        [("a", "2024-01", 1), ("b", "2024-02", 1)], "k STRING, month STRING, v INT"
+    )
+    df1.write.partitionBy("month").parquet(path)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch = spark.createDataFrame([("b", "2024-02", 99)], "k STRING, month STRING, v INT")
+        patch.write.mode("overwrite").partitionBy("month").parquet(path)
+        got = {(r["k"], r["month"], r["v"]) for r in spark.read.parquet(path).collect()}
+        assert got == {("a", "2024-01", 1), ("b", "2024-02", 99)}  # Jan survived
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+    # static mode: the same write pattern truncates everything else
+    patch2 = spark.createDataFrame([("b", "2024-02", 7)], "k STRING, month STRING, v INT")
+    patch2.write.mode("overwrite").partitionBy("month").parquet(path)
+    got2 = {(r["k"], r["month"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got2 == {("b", "2024-02", 7)}
