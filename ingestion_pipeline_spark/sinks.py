@@ -247,3 +247,53 @@ def jdbc_idempotent_batch_writer(
         jdbc_append(tagged, url, table, driver=driver, num_partitions=num_partitions)
 
     return write_batch
+
+
+def warehouse_upsert_partitioned(
+    spark,
+    batch: DataFrame,
+    path: str,
+    key: str = "cve_id",
+    version_col: str = "date_updated",
+    partition_col: str = "pub_month",
+) -> list[str]:
+    """The O(delta) form of ``warehouse_upsert`` for month-partitioned
+    tables: only the partitions PRESENT IN THE BATCH are read, merged
+    (keep-latest per key, same semantics as ``warehouse_upsert``) and
+    rewritten under ``partitionOverwriteMode=dynamic`` — untouched
+    months' files are never read or replaced. A daily CVE delta
+    touching 2 of 120 months costs 2 partition rewrites, not a table
+    scan. Returns the list of partitions rewritten.
+
+    Table formats with native MERGE (Delta/Iceberg) replace this
+    function one-for-one; the call-site contract is identical."""
+    from pyspark.sql.window import Window
+
+    if partition_col not in batch.columns:
+        batch = batch.withColumn(
+            partition_col, F.date_format("date_published", "yyyy-MM")
+        )
+    months = [r[0] for r in batch.select(partition_col).distinct().collect()]
+    try:
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col(partition_col).isin(months))
+            .select(*batch.columns)
+        )
+        merged = existing.unionByName(batch)
+    except Exception:  # first write — no table yet
+        merged = batch
+    w = Window.partitionBy(key).orderBy(F.col(version_col).desc(), F.col(key))
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)  # cut source files loose pre-overwrite
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        latest.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return sorted(months)

@@ -248,3 +248,49 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_
     patch2.write.mode("overwrite").partitionBy("month").parquet(path)
     got2 = {(r["k"], r["month"], r["v"]) for r in spark.read.parquet(path).collect()}
     assert got2 == {("b", "2024-02", 7)}
+
+
+def test_partitioned_upsert_is_o_delta(spark, tmp_path):
+    """warehouse_upsert_partitioned merges keep-latest ONLY in the
+    batch's months: the untouched month's files are bit-identical
+    afterwards (never read, never rewritten), redeliveries collapse,
+    and new keys land."""
+    import glob
+    import os
+
+    from ingestion_pipeline_spark.sinks import warehouse_upsert_partitioned
+
+    path = str(tmp_path / "pwh")
+    schema = "cve_id string, date_updated timestamp, date_published timestamp, data string"
+    seed = spark.createDataFrame(
+        [
+            ("CVE-1", datetime(2024, 1, 10), datetime(2024, 1, 1), '{"v":1}'),
+            ("CVE-2", datetime(2024, 2, 11), datetime(2024, 2, 2), '{"v":1}'),
+        ],
+        schema,
+    )
+    warehouse_upsert_partitioned(spark, seed, path)
+    jan_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/pub_month=2024-01/*.parquet")
+    }
+    assert jan_files
+
+    # delta touches ONLY February: newer CVE-2 + a new CVE-3
+    delta = spark.createDataFrame(
+        [
+            ("CVE-2", datetime(2024, 3, 1), datetime(2024, 2, 2), '{"v":2}'),
+            ("CVE-3", datetime(2024, 3, 2), datetime(2024, 2, 20), '{"v":1}'),
+        ],
+        schema,
+    )
+    touched = warehouse_upsert_partitioned(spark, delta, path)
+    assert touched == ["2024-02"]
+
+    back = {r["cve_id"]: r["data"] for r in spark.read.parquet(path).collect()}
+    assert back == {"CVE-1": '{"v":1}', "CVE-2": '{"v":2}', "CVE-3": '{"v":1}'}
+    # January files untouched on disk
+    assert {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/pub_month=2024-01/*.parquet")
+    } == jan_files
