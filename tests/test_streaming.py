@@ -203,3 +203,45 @@ def test_dual_sink_with_expectations(spark, stream_dirs):
     reasons = sorted(r["reason"] for r in quar.collect())
     assert reasons.count("expectation_failed") == 2
     assert reasons.count("unparseable") == 2
+
+
+def test_stream_into_partitioned_upsert(spark, tmp_path):
+    """The production CDC path end to end: a CVE delta stream drains
+    through foreachBatch into the partition-scoped keep-latest MERGE —
+    redelivered records collapse to the newest version, only touched
+    months rewrite, and the final table is the converged state."""
+    import json as _json
+
+    from ingestion_pipeline_spark.sinks import warehouse_upsert_partitioned
+
+    src = tmp_path / "delta_stream"
+    src.mkdir()
+    recs = [
+        ("CVE-1", "2024-01-10T00:00:00", "2024-01-01T00:00:00", 1),
+        ("CVE-1", "2024-02-20T00:00:00", "2024-01-01T00:00:00", 2),  # newer version
+        ("CVE-2", "2024-02-11T00:00:00", "2024-02-02T00:00:00", 1),
+    ]
+    for i, (cid, upd, pub, v) in enumerate(recs):
+        (src / f"r{i}.json").write_text(_json.dumps(
+            {"cve_id": cid, "date_updated": upd, "date_published": pub, "data": f'{{"v":{v}}}'}
+        ))
+    schema = "cve_id string, date_updated timestamp, date_published timestamp, data string"
+    wh = str(tmp_path / "wh")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one record per micro-batch: true CDC cadence
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: warehouse_upsert_partitioned(spark, batch, wh)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    back = {r["cve_id"]: r["data"] for r in spark.read.parquet(wh).collect()}
+    assert back == {"CVE-1": '{"v":2}', "CVE-2": '{"v":1}'}
