@@ -292,3 +292,96 @@ def mmr_rerank(
             (ids[i], rel[i], float(round(lam * rel[i] - (1 - lam) * penalty, 9)))
         )
     return out
+
+
+def lsh_multiprobe_topk_join(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    corpus_vec: str = "embedding",
+    probe_vec: str = "embedding",
+    probe_id: str = "probe_id",
+    k: int = 5,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB 2007): recall upgrade for the
+    banded sign-LSH join WITHOUT touching the index. The corpus keeps
+    its one key per band; each PROBE additionally emits every one-bit-
+    flip variant of its band keys — near neighbors that landed one sign
+    decision across the boundary are recovered. Candidate volume grows
+    by at most ×(per_band+1) on the probe side only (probes are the
+    small side by construction), the corpus-side index and shuffle are
+    unchanged — which is why production systems prefer multi-probe over
+    adding hash tables. Recall(multi) >= recall(single) by candidate-set
+    inclusion; measured against exact kNN in tests."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    per_band = n_planes // n_bands
+    sig_udf = signature_bits_np(planes)
+
+    def corpus_bands(df: DataFrame) -> DataFrame:
+        out = df.withColumn("__sig", sig_udf(F.col(corpus_vec)))
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "", F.slice(F.col("__sig"), b * per_band + 1, per_band)
+                    ).alias("key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return out.withColumn("__band", F.explode(bands)).select(
+            "vec_id",
+            F.col(corpus_vec).alias("__corpus_vec"),
+            F.col("__band.band").alias("band"),
+            F.col("__band.key").alias("bkey"),
+        )
+
+    def probe_bands_multiprobe(df: DataFrame) -> DataFrame:
+        out = df.withColumn("__sig", sig_udf(F.col(probe_vec)))
+
+        def bit(b: int, j: int):
+            return F.element_at("__sig", b * per_band + j + 1)
+
+        structs = []
+        for b in range(n_bands):
+            # exact key (flip = none) plus every one-bit flip
+            for flip in [None, *range(per_band)]:
+                parts = [
+                    (
+                        (F.lit(1) - bit(b, j)) if flip == j else bit(b, j)
+                    ).cast("string")
+                    for j in range(per_band)
+                ]
+                structs.append(
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws("", *parts).alias("key"),
+                    )
+                )
+        return out.withColumn("__band", F.explode(F.array(*structs))).select(
+            F.col(probe_id),
+            F.col(probe_vec).alias("__probe_vec"),
+            F.col("__band.band").alias("band"),
+            F.col("__band.key").alias("bkey"),
+        )
+
+    c = corpus_bands(spread(corpus, min_partitions=8))
+    p = probe_bands_multiprobe(probes)
+    cand = (
+        c.join(p, ["band", "bkey"])
+        .select("vec_id", probe_id, "__corpus_vec", "__probe_vec")
+        .dropDuplicates(["vec_id", probe_id])
+        .withColumn(
+            "sim", F.round(cosine(F.col("__corpus_vec"), F.col("__probe_vec")), 6)
+        )
+    )
+    return topk_per_group(
+        cand.drop("__probe_vec", "__corpus_vec"),
+        [probe_id],
+        [F.col("sim").desc(), F.col("vec_id").asc()],
+        k,
+    ).drop("rank")
