@@ -299,3 +299,65 @@ def test_containment_matches_bruteforce(spark, docs):
             if c >= 0.3:
                 expect[(a, b)] = (c, a if len(sh[a]) <= len(sh[b]) else b)
     assert got == expect
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),          # user
+            st.integers(min_value=0, max_value=10**7),      # ts offset us
+            st.decimals(min_value=0, max_value=99, places=2),  # value
+        ),
+        min_size=2,
+        max_size=20,
+        unique_by=lambda e: (e[0], e[1]),
+    )
+)
+@SLOW
+def test_time_weighted_avg_matches_reference(spark, events):
+    """The LOCF interval-weighted mean equals an exact-Fraction Python
+    reference on arbitrary irregular samples (per-user, ties excluded
+    by unique timestamps)."""
+    from datetime import datetime, timedelta
+    from fractions import Fraction
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(microseconds=us), u, "e", float(v), None)
+        for i, (u, us, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.createOrReplaceTempView("_twa_events")
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = df.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    got = {
+        r["user_id"]: r["twa"]
+        for r in s.groupBy("user_id")
+        .agg((F.sum(F.col("v") * F.col("dt")).cast("double") / F.sum("dt")).alias("twa"))
+        .collect()
+    }
+
+    per_user: dict = {}
+    for u, us, v in sorted(events):
+        per_user.setdefault(u, []).append((us, Fraction(v)))
+    for u, seq in per_user.items():
+        ivals = [
+            (b_us - a_us, a_v)
+            for (a_us, a_v), (b_us, _) in zip(seq, seq[1:])
+            if b_us > a_us
+        ]
+        if not ivals:
+            assert u not in got
+            continue
+        expect = sum(Fraction(dt) * v for dt, v in ivals) / sum(dt for dt, _ in ivals)
+        assert abs(got[u] - float(expect)) < 1e-9
