@@ -45,3 +45,4 @@ from . import registry_ext43  # noqa: F401  — split-leakage audit
 from . import registry_ext44  # noqa: F401  — native VARIANT semi-structured type
 from . import registry_ext45  # noqa: F401  — ML feature prep: target encoding, median imputation
 from . import registry_ext46  # noqa: F401  — IVF-PQ (IVFADC) composed ANN
+from . import registry_ext47  # noqa: F401  — TextRank keyword extraction

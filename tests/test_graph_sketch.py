@@ -176,3 +176,33 @@ def test_hll_merge_within_5pct_of_exact(spark):
     assert set(got) == set(exact)
     for t in exact:
         assert abs(got[t] - exact[t]) <= max(1, 0.05 * exact[t])
+
+
+def test_textrank_keywords_semantics(spark, sf_dir):
+    """TextRank keywords: deterministic, ranks positive and ordered,
+    and the surfaced words are high-connectivity corpus words (every
+    keyword appears in the top-vocabulary by construction)."""
+    from ingestion_pipeline_spark.plans import query_map
+
+    fn = query_map()["tx_textrank_keywords"]
+    a = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    b = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    assert a == b  # fixed-iteration PageRank is reproducible
+    assert len(a) == 20
+    ranks = [r for _, r in a]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r > 0 for r in ranks)
+    # connector words out-rank rare ones: each keyword occurs many times
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["w"]: r["n"]
+        for r in docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert all(counts.get(kw, 0) >= 5 for kw, _ in a)
