@@ -111,6 +111,7 @@ HEADLINE = [
     "dq_median_impute",
     "tx_bpe_tokenize",
     "v_ivfadc_topk",
+    "tx_textrank_keywords",
 ]
 
 
