@@ -110,6 +110,7 @@ HEADLINE = [
     "s_target_encoding",
     "dq_median_impute",
     "tx_bpe_tokenize",
+    "tx_bpe_tokenize_fold",
     "v_ivfadc_topk",
     "tx_textrank_keywords",
 ]
@@ -153,7 +154,7 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    out = {
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -161,8 +162,33 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    # Per-query detail goes to stderr + a side file; stdout's FINAL line is
+    # a compact summary only. The driver captures a bounded tail of stdout
+    # and parses the last line — a 93-entry map overflowed it in rounds 1-2
+    # (BENCH_r02.json: rc=0 but parsed=null), so keep this line short.
+    print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    slowest = sorted(times, key=times.get, reverse=True)[:3]
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "n_errors": len(errors),
+        # keep the contract's "queries" key but bounded (3 slowest) so the
+        # line always fits the driver's tail window; full map in
+        # bench_detail.json and on stderr.
+        "queries": {k: times[k] for k in slowest},
+    }))
 
 
 if __name__ == "__main__":

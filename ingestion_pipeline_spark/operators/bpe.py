@@ -197,3 +197,75 @@ def bpe_tokenize_counts(
         F.size(words).alias("n_words"),
         n_tokens.alias("n_bpe_tokens"),
     )
+
+
+def bpe_tokenize_counts_arrow(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The PRODUCTION BPE apply: the merge list broadcasts (closure
+    capture — plan-time data, vocabulary-sized) into a batched Arrow
+    ``mapInPandas`` tokenizer. Value-identical to
+    ``bpe_tokenize_counts`` (pinned in tests/test_bpe.py) but O(1) in
+    expression depth: the fold-expression path unrolls ONE interpreted
+    higher-order fold PER MERGE — fine at 10 merges, a 10k-deep
+    interpreted expression tree at a real vocab (the round-2 verdict's
+    scale caveat). Here merge count only lengthens a Python loop over a
+    per-batch word cache: each DISTINCT word tokenizes once per batch
+    (Zipf makes the cache hit rate ~95%+ on natural text), then counts
+    are a dict lookup per occurrence.
+
+    Same greedy left-to-right, training-order application semantics;
+    same output schema (id, n_words, n_bpe_tokens)."""
+    import re
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    id_field = docs.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("n_words", IntegerType()),
+            StructField("n_bpe_tokens", IntegerType()),
+        ]
+    )
+    word_re = re.compile("[a-z]+")
+    mseq = list(merges)
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict[str, int] = {}
+
+        def n_tok(w: str) -> int:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            sym = list(w)
+            for a, b in mseq:
+                out, i, ln = [], 0, len(sym)
+                while i < ln:
+                    if i + 1 < ln and sym[i] == a and sym[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            cache[w] = len(sym)
+            return cache[w]
+
+        for pdf in batches:
+            ids, n_words, n_tokens = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ws = word_re.findall((text or "").lower())
+                ids.append(doc_id)
+                n_words.append(len(ws))
+                n_tokens.append(sum(n_tok(w) for w in ws))
+            yield pd.DataFrame(
+                {id_col: ids, "n_words": n_words, "n_bpe_tokens": n_tokens}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, out_schema)

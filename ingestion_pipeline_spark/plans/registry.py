@@ -92,47 +92,53 @@ def register(name: str, sql: Optional[str], doc: str):
 # the genuinely non-SQL-expressible entries (approximate ANN / sketch
 # ops, graded rows-only) last.
 GRADED_WINDOW = [
-    # TPC-H-shaped analytics: scan→filter→join→agg→sort→limit (q7/q9/
-    # q10/q18/q21 rotated out across round 2 — the shapes they exercise
-    # stay covered by q1/q3/q5 and j_big_spender_semi's groupBy-HAVING-
-    # semi — to make room for the new operator families below)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    # round-2 families: fuzzy entity resolution, lexical retrieval,
-    # data-quality gating, write-side layout, RAG chunking
+    # Round-3 rotation: 16 round-2-green slots swapped for 16 never-
+    # driver-graded oracle entries (verdict r2 directive #6), including
+    # the 5 latent-HUGEINT queries fixed this round and g_value_trend's
+    # decimal-coercion fix — so the driver itself certifies the repairs.
+    # Rotated-out queries remain locally gated by check_correctness.py.
+    # TPC-H-shaped analytics (q3 out; q9's 3-way-join profit rollup in)
+    "q1_pricing_summary", "q5_region_revenue", "q9_nation_profit",
+    # fuzzy entity resolution, lexical retrieval, data-quality gating,
+    # write-side layout
     "j_fuzzy_name_pairs", "t_bm25_keyword_topk",
-    "dq_orders_expectations", "g_zorder_orders", "tx_chunk_overlap",
+    "dq_orders_expectations", "g_zorder_orders",
     # filters
-    "f_orders_combo", "f_prefix_sources",
-    # joins (anti, semi, full-outer, as-of)
-    "j_customers_without_orders", "j_big_spender_semi",
-    "j_verify_full_outer", "j_asof_click_before_purchase",
-    # aggregation
-    "g_events_stats", "g_collect_docs_per_source",
-    "g_grouping_sets_revenue",
+    "f_orders_combo",
+    # joins (semi, as-of, point-in-time)
+    "j_big_spender_semi", "j_asof_click_before_purchase",
+    "j_point_in_time_enrich",
+    # aggregation (incl. the incremental-rollup merge identity and the
+    # exact-decimal trend statistics)
+    "g_events_stats", "g_grouping_sets_revenue",
+    "g_incremental_rollup_refresh", "g_value_trend",
     # top-k / ordering (t_topk_per_group_pandas = the applyInPandas
     # extension point, §2.12 UDF-3, under the value-hash gate)
-    "t_top3_orders_per_customer", "t_latest_event_per_user",
-    "t_topk_per_group_pandas",
+    "t_top3_orders_per_customer", "t_topk_per_group_pandas",
+    "t_inverted_index",
     # windows / time
     "w_hourly_event_rollup", "w_sessionize_events",
-    "w_session_window_rollup", "w_gapfill_hourly",
-    # nested extraction / json / templates / query rewrite (P3, P9)
-    "p_props_extraction", "p_json_roundtrip",
-    "p_embed_text_template", "p_query_rewrite",
+    "w_session_window_rollup", "w_zscore_anomalies",
+    "w_time_weighted_avg",
+    # nested extraction / templates
+    "p_props_extraction", "p_embed_text_template",
     # string / regex
-    "x_cve_extraction", "x_explode_cve_join", "x_text_stats",
-    # set ops (E1 via e_rag_verdicts, E3 union)
-    "e_rag_verdicts", "e_union_doc_sets",
+    "x_explode_cve_join", "x_text_stats",
+    # set ops (E1 via e_rag_verdicts)
+    "e_rag_verdicts",
     # vector search / embedding generation (V1/V2 gate) / numpy-kernel
-    # LSH ANN (§2.12 UDF-5, exact SQL oracle over the LCG hyperplanes)
-    "v_cosine_top8", "v_threshold_search", "v_knn_join",
-    "v_two_stage_rerank", "v_embed_hashing_check", "v_lsh_knn_join",
-    # dedup family
-    "d_exact_dup_groups", "d_jaccard_pairs", "d_minhash_md5_signatures",
-    "d_simhash16_portable", "d_embedding_near_dups", "d_dup_clusters",
-    # scoring / RAG / text-analysis / multimodal / composite pipeline
+    # LSH ANN (§2.12 UDF-5) / hybrid lexical+vector fusion
+    "v_cosine_top8", "v_knn_join", "v_two_stage_rerank",
+    "v_embed_hashing_check", "v_lsh_knn_join", "v_hybrid_rrf_fusion",
+    # dedup family (containment = asymmetric near-dup)
+    "d_exact_dup_groups", "d_simhash16_portable",
+    "d_embedding_near_dups", "d_dup_clusters", "d_containment_pairs",
+    # scoring / RAG / text-analysis / multimodal / pipelines / sources
     "s_confidence_scores", "rag_context_block", "tx_langid",
-    "mm_media_features", "pipeline_corpus_prep",
+    "tx_unicode_normalize", "mm_media_features",
+    "pipeline_corpus_prep", "pipeline_corpus_stats",
+    "pipeline_shard_manifest", "mm_ahash_dup_groups",
+    "s_pyds_nvd_scan", "s_target_encoding",
 ]
 
 

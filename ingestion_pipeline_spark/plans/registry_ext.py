@@ -267,8 +267,8 @@ def e_union_doc_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), sessions AS (
         SELECT user_id, event_id, ts_us,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM gaps
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -129,7 +129,7 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SURVIVORS_SQL}
     SELECT source, predicted_lang, COUNT(*) AS n_docs,
-           SUM(n_words) AS total_words,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
            CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_quality
     FROM kept
     GROUP BY source, predicted_lang

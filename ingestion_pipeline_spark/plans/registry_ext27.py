@@ -26,7 +26,7 @@ from .registry import register
 _RULE_SQL = """
     SELECT '{name}' AS rule,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN NOT COALESCE({pred}, FALSE) THEN 1 ELSE 0 END) AS n_violations,
+           CAST(SUM(CASE WHEN NOT COALESCE({pred}, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
            CASE WHEN COUNT(*) = 0 THEN 1.0
                 ELSE (COUNT(*) - SUM(CASE WHEN NOT COALESCE({pred}, FALSE) THEN 1 ELSE 0 END))
                      / CAST(COUNT(*) AS DOUBLE) END AS pass_fraction,

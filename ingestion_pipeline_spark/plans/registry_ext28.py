@@ -43,7 +43,7 @@ def _rollup(df: DataFrame) -> DataFrame:
     f"""
     SELECT source, lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars

@@ -95,7 +95,7 @@ def t_global_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            MIN(global_id) AS first_id,
            MAX(global_id) AS last_id,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM ids GROUP BY 1
     """,
     f"Training-shard layout: fixed {_SHARD_DOCS}-doc shards cut by "

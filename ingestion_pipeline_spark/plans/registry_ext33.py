@@ -39,7 +39,7 @@ from .registry import register
     )
     SELECT term,
            COUNT(*) AS df,
-           SUM(tf) AS cf,
+           CAST(SUM(tf) AS BIGINT) AS cf,
            string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
     FROM per_doc
     WHERE term LIKE 'c%'

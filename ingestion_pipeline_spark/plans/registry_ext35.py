@@ -37,9 +37,9 @@ from .registry import register
     tot AS (SELECT doc_id, SUM(c) AS total FROM codes GROUP BY doc_id),
     hashed AS (
         SELECT c.doc_id,
-               SUM(CASE WHEN c.c * 32 > t.total
-                        THEN (CAST(1 AS BIGINT) << (32 - c.i))
-                        ELSE 0 END) AS ahash32
+               CAST(SUM(CASE WHEN c.c * 32 > t.total
+                             THEN (CAST(1 AS BIGINT) << (32 - c.i))
+                             ELSE 0 END) AS BIGINT) AS ahash32
         FROM codes c JOIN tot t USING (doc_id)
         GROUP BY c.doc_id
     )

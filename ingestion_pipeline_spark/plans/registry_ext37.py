@@ -32,8 +32,9 @@ _EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 UTC, the fixture epoch
     f"""
     WITH s AS (
         SELECT event_type,
-               CAST(epoch_us(ts) - {_EPOCH_US} AS DECIMAL(38,6))
-                   / 3600000000.0 AS x,
+               CAST(ROUND(CAST(epoch_us(ts) - {_EPOCH_US} AS DOUBLE)
+                          / CAST(3600000000 AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS x,
                CAST(value AS DECIMAL(18,2)) AS y
         FROM events
     ),
@@ -66,10 +67,18 @@ _EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 UTC, the fixture epoch
 )
 def g_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    x = (
-        (F.unix_micros("ts") - F.lit(_EPOCH_US)).cast("decimal(38,6)")
-        / F.lit(3600000000.0)
-    )
+    # x must stay DECIMAL into the power sums: the round-2 advisor showed
+    # `decimal / double-literal` silently coerces to DOUBLE in Spark,
+    # making Σx/Σxy/Σxx partition-order-dependent float accumulations.
+    # Per-row double divide + round(6) + cast to decimal(18,6) is
+    # order-independent (row-local, IEEE-identical in both engines), and
+    # the SUMs then accumulate exactly. decimal(18,6) (not 38) keeps
+    # x*x / x*y products inside both engines' 38-digit width.
+    x = F.round(
+        (F.unix_micros("ts") - F.lit(_EPOCH_US)).cast("double")
+        / F.lit(3600000000.0),
+        6,
+    ).cast("decimal(18,6)")
     y = F.col("value").cast("decimal(18,2)")
     s = ev.select("event_type", x.alias("x"), y.alias("y"))
     sums = s.groupBy("event_type").agg(

@@ -239,7 +239,27 @@ def jdbc_idempotent_batch_writer(
                 .distinct()
                 .collect()
             }
-        except Exception:  # noqa: BLE001 — table does not exist yet
+        except Exception as exc:  # noqa: BLE001 — inspect, don't swallow
+            # Only "table missing" means first write. Anything else
+            # (transient JDBC error, auth, network) must PROPAGATE so
+            # Structured Streaming retries the batch — treating it as
+            # first-write would re-append an already-written batch and
+            # silently degrade effectively-once to at-least-once
+            # (round-2 advisor finding).
+            msg = str(exc).lower()
+            missing = any(
+                pat in msg
+                for pat in (
+                    "does not exist",  # Derby/Postgres wording
+                    "not found",
+                    "no such table",  # SQLite wording
+                    "42x05",  # Derby SQLState: table/view missing
+                    "42s02",  # MySQL/SQLServer SQLState
+                    "42p01",  # Postgres SQLState: undefined table
+                )
+            )
+            if not missing:
+                raise
             seen = set()
         if batch_id in seen:
             return
@@ -274,14 +294,22 @@ def warehouse_upsert_partitioned(
             partition_col, F.date_format("date_published", "yyyy-MM")
         )
     months = [r[0] for r in batch.select(partition_col).distinct().collect()]
-    try:
+    # Probe path existence EXPLICITLY (Hadoop FS — works for local, HDFS,
+    # s3a alike) instead of catching every read failure: a transient IO
+    # error or schema mismatch swallowed as "first write" would let the
+    # dynamic-partition overwrite below replace touched months with
+    # batch-only rows — silent data loss for pre-existing keys
+    # (round-2 advisor finding). Real read errors now propagate.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
         existing = (
             spark.read.parquet(path)
             .filter(F.col(partition_col).isin(months))
             .select(*batch.columns)
         )
         merged = existing.unionByName(batch)
-    except Exception:  # first write — no table yet
+    else:  # first write — no table yet
         merged = batch
     w = Window.partitionBy(key).orderBy(F.col(version_col).desc(), F.col(key))
     latest = (

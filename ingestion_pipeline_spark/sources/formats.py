@@ -82,7 +82,15 @@ def read_jsonl(
     """PERMISSIVE JSON-lines scan: malformed lines land in
     ``corrupt_col`` (route them to the quarantine sink; W7) instead of
     failing the scan."""
-    full = schema.add(corrupt_col, "string") if corrupt_col not in schema.names else schema
+    # StructType.add MUTATES self (and returns it) — extending the
+    # caller's schema in place would leave `_corrupt_record` in their
+    # object for later writes/CSV reads (round-2 advisor finding).
+    # Copy the fields before extending.
+    full = (
+        StructType(list(schema.fields)).add(corrupt_col, "string")
+        if corrupt_col not in schema.names
+        else schema
+    )
     return (
         spark.read.schema(full)
         .options(**_TS_OPTS)

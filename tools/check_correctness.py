@@ -28,6 +28,57 @@ def normalize(rows, cols):
     return sorted(out)
 
 
+def canon_type(t) -> str:
+    """Canonical arrow-type tag: strict on numeric class and width
+    (int64 != decimal128(38,0) != float64), lenient only on encoding
+    variants that carry identical values (string vs large_string,
+    list vs large_list, timestamp unit).
+
+    The driver's value hash is type-sensitive (round-2 verdict: DuckDB
+    HUGEINT sums red-flagged vs Spark bigint while the old string
+    normalize passed them), so the local gate must be at least as
+    strict on numeric typing. Calibration against round-2 driver
+    results: int32-vs-int64 queries (rank/window/size columns) were
+    driver-GREEN, so integer widths collapse (both sides become Python
+    int); decimal-vs-int was driver-RED, so decimal stays distinct, with
+    scale significant (Decimal('5.00') != Decimal('5') by repr) but
+    precision not.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return f"decimal(s={t.scale})"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[tz={t.tz is not None}]"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{canon_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{canon_type(t.key_type)},{canon_type(t.item_type)}>"
+    return str(t)  # ints, floats, decimals, bool, date32 — exact
+
+
+def type_mismatches(s_schema, d_schema):
+    """Column-by-column canonical dtype diffs between two arrow schemas."""
+    d_by_name = {f.name: f.type for f in d_schema}
+    diffs = []
+    for f in s_schema:
+        if f.name not in d_by_name:
+            continue
+        a, b = canon_type(f.type), canon_type(d_by_name[f.name])
+        if a != b:
+            diffs.append(f"{f.name}: spark={a} oracle={b}")
+    return diffs
+
+
 def main() -> int:
     import duckdb
 
@@ -53,6 +104,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            stab = sdf.toArrow()
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
@@ -63,7 +115,8 @@ def main() -> int:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            ddf = con.execute(oracles[name]).fetch_df()
+            dtab = con.execute(oracles[name]).fetch_arrow_table()
+            ddf = dtab.to_pandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
@@ -71,6 +124,11 @@ def main() -> int:
         dcols = list(ddf.columns)
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: schema {sorted(scols)} != {sorted(dcols)}")
+            failed.append(name)
+            continue
+        tdiffs = type_mismatches(stab.schema, dtab.schema)
+        if tdiffs:
+            print(f"FAIL {name}: dtype mismatch: {'; '.join(tdiffs)}")
             failed.append(name)
             continue
         if len(srows) != len(ddf):
