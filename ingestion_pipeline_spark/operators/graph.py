@@ -190,6 +190,77 @@ def pagerank(
     return ranks.select("n", "rank")
 
 
+PR_SCALE = 10**12  # fixed-point rank unit: 1.0 == 10^12
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """Power-iteration PageRank in FIXED-POINT integer arithmetic —
+    ``(n, rank_fp)`` with ranks in 1e-12 units (``PR_SCALE``), damping
+    85/100, over the SYMMETRIZED edge list.
+
+    Why integers: the float ``pagerank`` above sums ``double`` shares
+    per destination, which is accumulation-order-dependent at the
+    1e-16 scale — harmless for ranking, fatal for a cross-engine value
+    hash (the same flake class the round-2 advisor flagged on
+    g_value_trend). Every operation here — integer ``div`` for shares,
+    exact BIGINT sums, ``(85*contrib) div 100`` damping — is defined
+    identically in Spark and any ANSI engine, so a DuckDB oracle can
+    replay the 10 iterations as unrolled CTEs and match bit-for-bit
+    (``plans/pagerank_sql.py``). Rank error vs the real-valued
+    fixpoint is ≤ iters·|V|/SCALE — irrelevant at 1e-12 units.
+
+    Symmetric-only: every node then has out-degree ≥ 1, so no dangling
+    mass and no per-round scalar aggregate. Per-round cost envelope is
+    identical to ``pagerank``: one edges⋈ranks shuffle + one partial-
+    aggregated sum."""
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    fwd = fwd.union(
+        fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=True)
+
+    nodes = (
+        fwd.select(F.col("s").alias("n"))
+        .union(fwd.select(F.col("d").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    if n_total == 0:
+        return nodes.select("n", F.lit(0).cast("long").alias("rank_fp"))
+    deg = fwd.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+
+    init = PR_SCALE // n_total
+    base = (15 * PR_SCALE) // (100 * n_total)
+    ranks = nodes.select("n", F.lit(init).cast("long").alias("rank_fp"))
+
+    for it in range(iters):
+        shares = ranks.join(deg, ranks.n == deg.s).select(
+            "s", F.expr("rank_fp div deg").alias("share")
+        )
+        contribs = (
+            fwd.join(shares, "s")
+            .groupBy(F.col("d").alias("n"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = nodes.join(contribs, "n", "left").select(
+            "n",
+            (
+                F.lit(base).cast("long")
+                + F.expr("(85 * coalesce(contrib, 0)) div 100")
+            ).alias("rank_fp"),
+        )
+        if (it + 1) % checkpoint_interval == 0 or it == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+
+    return ranks.select("n", "rank_fp")
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",

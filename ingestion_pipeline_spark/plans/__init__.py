@@ -46,3 +46,4 @@ from . import registry_ext44  # noqa: F401  — native VARIANT semi-structured t
 from . import registry_ext45  # noqa: F401  — ML feature prep: target encoding, median imputation
 from . import registry_ext46  # noqa: F401  — IVF-PQ (IVFADC) composed ANN
 from . import registry_ext47  # noqa: F401  — TextRank keyword extraction
+from . import registry_ext48  # noqa: F401  — value-gated md5 MinHash-LSH banding

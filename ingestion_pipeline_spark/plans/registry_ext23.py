@@ -19,22 +19,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import pagerank
+from ..operators.graph import PR_SCALE, pagerank_fixed_point
 from ..sources.parquet_tables import table
+from .pagerank_sql import pagerank_fp_ctes
 from .registry import register
+
+_NEARDUP_PAIRS_SQL = """
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6) AS sim
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE sim >= 0.3
+    )"""
 
 
 @register(
     "d_pagerank_neardup",
-    None,  # iterative float fixpoint — rows-only; math pinned in pytest
-    "PageRank (damping 0.85, 10 fixed power iterations, dangling mass "
-    "redistributed) over the symmetric embedding near-dup graph "
-    "(label-blocked cosine >= 0.3 — the same pair builder the "
-    "d_embedding_near_dups oracle verifies). Per round: one edge-"
-    "ranks join + one partial-aggregated sum + localCheckpoint, the "
-    "identical cost envelope as a connected-components round. Fixed "
-    "iteration count keeps results reproducible; tests pin the values "
-    "against a dense Python reference.",
+    f"""
+    WITH {_NEARDUP_PAIRS_SQL},
+    {pagerank_fp_ctes(10)}
+    SELECT n AS vec_id, r AS rank_fp,
+           ROUND(CAST(r AS DOUBLE) / {PR_SCALE}, 9) AS rank
+    FROM pr_r10
+    """,
+    "PageRank (damping 85/100, 10 fixed power iterations) over the "
+    "symmetric embedding near-dup graph (label-blocked cosine >= 0.3 — "
+    "the same pair builder the d_embedding_near_dups oracle verifies), "
+    "in FIXED-POINT integer arithmetic (1e-12 rank units): integer div "
+    "shares, exact BIGINT sums — bit-identical on any engine, so the "
+    "10 iterations unroll into chained oracle CTEs and the full value "
+    "hash gates the math (was rows-only through round 2). Per round: "
+    "one edge-ranks join + one partial-aggregated sum + "
+    "localCheckpoint, the identical cost envelope as a connected-"
+    "components round. Float variant (operators/graph.py:pagerank) "
+    "stays pinned against a dense Python reference in pytest.",
 )
 def d_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import REGISTRY
@@ -43,10 +63,12 @@ def d_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = REGISTRY["d_embedding_near_dups"].spark(spark, sf_dir).select(
         "id_a", "id_b"
     )
-    ranks = pagerank(pairs, "id_a", "id_b", symmetric=True)
+    ranks = pagerank_fixed_point(pairs, "id_a", "id_b", iters=10)
     return ranks.select(
-        F.col("n").alias("vec_id"), F.round("rank", 9).alias("rank")
-    ).orderBy(F.col("rank").desc(), "vec_id")
+        F.col("n").alias("vec_id"),
+        "rank_fp",
+        F.round(F.col("rank_fp").cast("double") / F.lit(PR_SCALE), 9).alias("rank"),
+    ).orderBy(F.col("rank_fp").desc(), "vec_id")
 
 
 @register(

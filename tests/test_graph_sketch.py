@@ -185,8 +185,8 @@ def test_textrank_keywords_semantics(spark, sf_dir):
     from ingestion_pipeline_spark.plans import query_map
 
     fn = query_map()["tx_textrank_keywords"]
-    a = [tuple(r) for r in fn(spark, sf_dir).collect()]
-    b = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    a = [(r["keyword"], r["rank"]) for r in fn(spark, sf_dir).collect()]
+    b = [(r["keyword"], r["rank"]) for r in fn(spark, sf_dir).collect()]
     assert a == b  # fixed-iteration PageRank is reproducible
     assert len(a) == 20
     ranks = [r for _, r in a]
@@ -206,3 +206,30 @@ def test_textrank_keywords_semantics(spark, sf_dir):
         .collect()
     }
     assert all(counts.get(kw, 0) >= 5 for kw, _ in a)
+
+
+def test_pagerank_fixed_point_tracks_float_reference(spark):
+    """Fixed-point integer PageRank (the oracle-gated variant) agrees
+    with the float reference to within the quantization error bound
+    (~iters·|V| micro-units), and ranks are positive integers."""
+    from ingestion_pipeline_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_fixed_point,
+    )
+
+    edges = [(0, i) for i in range(1, 6)] + [(10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["n"]: r["rank_fp"]
+        for r in pagerank_fixed_point(df, iters=10).collect()
+    }
+    sym = edges + [(b, a) for a, b in edges]
+    ref = _pr_reference(sym)
+    assert set(got) == set(ref)
+    for k in ref:
+        assert isinstance(got[k], int) and got[k] > 0
+        # each of 10 iterations can lose < |V| units to floor division
+        assert abs(got[k] / PR_SCALE - ref[k]) < 10 * len(ref) / PR_SCALE
+    # same ordering conclusions as the float path
+    assert got[0] > got[1]
+    assert got[10] == got[11]
