@@ -260,7 +260,13 @@ def mmr_rerank(
     this runs driver-side on the collected candidates — the same
     bounded-collect class as the IVF centroids and the BPE vocab table;
     the distributed work is the retrieval that produced the candidates.
-    Deterministic: 6dp-rounded cosines, ties by id. Returns
+    Deterministic AND oracle-replicable: pair cosines in num/den form
+    (dot then divide — the float-op order DuckDB's
+    list_cosine_similarity uses) with HALF-AWAY-FROM-ZERO 6dp rounding
+    (SQL ROUND semantics; numpy's np.round is half-even and CAN differ
+    on boundary values), scores half-away 9dp, ties by id — so the
+    fixed k selection rounds unroll into oracle CTEs and the registry
+    entry carries a full value hash. Returns
     ``[(id, relevance, mmr_score), ...]`` in selection order."""
     import numpy as np
 
@@ -270,8 +276,15 @@ def mmr_rerank(
     ids = [r[id_col] for r in rows]
     rel = [float(r["sim"]) for r in rows]
     X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    pair = np.round(X @ X.T, 6)
+    norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+    den = np.outer(norms, norms)
+    S = np.where(den > 0, (X @ X.T) / np.where(den == 0, 1.0, den), 0.0)
+    pair = np.floor(np.abs(S) * 1e6 + 0.5) / 1e6 * np.sign(S)  # HALF_AWAY 6dp
+
+    def r9(x: float) -> float:
+        import math
+
+        return math.floor(abs(x) * 1e9 + 0.5) / 1e9 * (1 if x >= 0 else -1)
 
     selected: list[int] = []
     out: list[tuple[int, float, float]] = []
@@ -280,7 +293,7 @@ def mmr_rerank(
         best = None
         for i in remaining:
             penalty = max((pair[i, j] for j in selected), default=0.0)
-            score = round(lam * rel[i] - (1 - lam) * penalty, 9)
+            score = r9(lam * rel[i] - (1 - lam) * penalty)
             cand = (-score, ids[i], i)
             if best is None or cand < best:
                 best = cand
@@ -288,9 +301,7 @@ def mmr_rerank(
         selected.append(i)
         remaining.remove(i)
         penalty = max((pair[i, j] for j in selected[:-1]), default=0.0)
-        out.append(
-            (ids[i], rel[i], float(round(lam * rel[i] - (1 - lam) * penalty, 9)))
-        )
+        out.append((ids[i], rel[i], r9(lam * rel[i] - (1 - lam) * penalty)))
     return out
 
 

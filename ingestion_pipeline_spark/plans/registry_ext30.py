@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators.bpe import bpe_train_local, word_frequencies
 from ..sources.parquet_tables import table
+from .bpe_sql import bpe_merges_sql, bpe_tokenize_sql
 from .registry import register
 
 _BINS = 20
@@ -27,7 +28,8 @@ _BINS = 20
 
 @register(
     "tx_bpe_merges",
-    None,  # iterative argmax fixpoint — rows-only; pinned in test_bpe.py
+    bpe_merges_sql(10, 200),  # argmax rounds unrolled via the
+    # chained-REPLACE greedy-merge identity (plans/bpe_sql.py)
     "BPE tokenizer training: 10 merge rounds over the top-200 word-"
     "frequency table of the documents corpus. Deterministic — exact "
     "integer pair counts, (count DESC, pair ASC) tie-break — so the "
@@ -104,8 +106,8 @@ def _learned_merges(spark: SparkSession, docs: DataFrame) -> list[tuple[str, str
 
 @register(
     "tx_bpe_tokenize",
-    None,  # merge list is an iterative-training artifact — rows-only;
-    # application semantics pinned vs a Python reference in test_bpe.py
+    bpe_tokenize_sql(10, 200),  # oracle re-learns the merges AND
+    # re-applies them via chained REPLACEs (plans/bpe_sql.py)
     "BPE tokenizer APPLICATION, production path: the learned merge "
     "list (tx_bpe_merges) broadcasts into a batched Arrow mapInPandas "
     "tokenizer with a per-batch distinct-word cache — merge count "
@@ -126,7 +128,8 @@ def tx_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tx_bpe_tokenize_fold",
-    None,  # same artifact-input argument as tx_bpe_tokenize — rows-only
+    bpe_tokenize_sql(10, 200),  # same oracle as the Arrow path — the
+    # two implementations must agree with it AND each other
     "BPE tokenizer application as PURE PLAN: the merge list unrolls "
     "into chained fold expressions — one interpreted higher-order fold "
     "per merge, no Python at runtime. Fine at 10 merges; the Arrow "

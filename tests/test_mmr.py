@@ -13,15 +13,23 @@ from ingestion_pipeline_spark.plans import query_map
 
 
 def _python_mmr(ids, rel, vecs, k, lam):
+    import math
+
     X = np.asarray(vecs, dtype=np.float64)
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    pair = np.round(X @ X.T, 6)
+    norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+    den = np.outer(norms, norms)
+    S = np.where(den > 0, (X @ X.T) / np.where(den == 0, 1.0, den), 0.0)
+    pair = np.floor(np.abs(S) * 1e6 + 0.5) / 1e6 * np.sign(S)
+
+    def r9(x):
+        return math.floor(abs(x) * 1e9 + 0.5) / 1e9 * (1 if x >= 0 else -1)
+
     selected, out, remaining = [], [], list(range(len(ids)))
     while remaining and len(out) < k:
         scored = []
         for i in remaining:
             pen = max((pair[i, j] for j in selected), default=0.0)
-            scored.append((-round(lam * rel[i] - (1 - lam) * pen, 9), ids[i], i))
+            scored.append((-r9(lam * rel[i] - (1 - lam) * pen), ids[i], i))
         _, _, i = min(scored)
         out.append(ids[i])
         selected.append(i)
