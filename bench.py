@@ -113,6 +113,12 @@ HEADLINE = [
     "tx_bpe_tokenize_fold",
     "v_ivfadc_topk",
     "tx_textrank_keywords",
+    "d_minhash_lsh_md5_pairs",
+    "g_countmin_heavy_hitters",
+    "t_tfidf_topk",
+    "v_sign_hamming_topk",
+    "v_matryoshka_prefix_topk",
+    "v_mmr_rerank",
 ]
 
 

@@ -1,0 +1,79 @@
+"""Tranche-49 properties: CMS overestimate guarantee, sign-quantized
+Hamming vs exact cosine agreement, Matryoshka prefix-vs-full ordering.
+The value math itself is oracle-gated; these assert the semantic
+guarantees the oracle can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingestion_pipeline_spark.plans import query_map
+
+
+def test_countmin_estimate_dominates_exact(spark, sf_dir):
+    rows = query_map()["g_countmin_heavy_hitters"](spark, sf_dir).collect()
+    assert rows, "heavy hitters must exist on a natural-language corpus"
+    for r in rows:
+        # the Count-Min guarantee: estimates never undercount
+        assert r["cms_estimate"] >= r["exact_count"]
+    # the heavy-hitter set must include the corpus's true top word
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc())
+        .first()
+    )
+    assert top["w"] in {r["word"] for r in rows}
+
+
+def test_sign_hamming_better_than_chance(spark, sf_dir):
+    """Binary quantization is lossy but not random: the mean EXACT
+    cosine of the Hamming top-10 must beat the corpus mean cosine to
+    the probe (on these near-random synthetic embeddings the absolute
+    recall is low by construction — production reranks exactly, as
+    v_two_stage_rerank demonstrates for int8)."""
+    import numpy as np
+
+    ham = {
+        r["vec_id"]
+        for r in query_map()["v_sign_hamming_topk"](spark, sf_dir).collect()
+    }
+    assert len(ham) == 10
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    probe = emb[0]
+
+    def cos(v):
+        d = np.linalg.norm(v) * np.linalg.norm(probe)
+        return float(v @ probe / d) if d > 0 else 0.0
+
+    all_cos = [cos(v) for k, v in emb.items() if k != 0]
+    top_cos = [cos(emb[k]) for k in ham]
+    assert np.mean(top_cos) > np.mean(all_cos)
+
+
+def test_matryoshka_prefix_tracks_full_sim(spark, sf_dir):
+    rows = query_map()["v_matryoshka_prefix_topk"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    sims = [r["sim_prefix"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    # prefix-retrieved neighbours must be better than chance in FULL
+    # dimension too (the MRL premise). These synthetic embeddings are
+    # near-random (corpus mean cosine ~0), so the bar is mean > 0 —
+    # MRL-trained embeddings would concentrate far above it.
+    full = [r["sim_full"] for r in rows]
+    assert sum(full) / len(full) > 0
+
+
+def test_tfidf_scores_positive_and_ranked(spark, sf_dir):
+    rows = query_map()["t_tfidf_topk"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    assert [r["rank"] for r in rows] == list(range(1, 11))
