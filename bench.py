@@ -119,6 +119,8 @@ HEADLINE = [
     "v_sign_hamming_topk",
     "v_matryoshka_prefix_topk",
     "v_mmr_rerank",
+    "tx_dedup_chunks_rebuild",
+    "s_quality_classifier",
 ]
 
 

@@ -77,3 +77,31 @@ def test_tfidf_scores_positive_and_ranked(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
     assert [r["rank"] for r in rows] == list(range(1, 11))
+
+
+def test_dedup_chunks_rebuild_properties(spark, sf_dir):
+    """Chunk dedup edits the corpus: total kept+dropped == chunk count,
+    at least one chunk is dropped on a corpus with dup families, and a
+    doc's dedup text is a subsequence of its chunkified original."""
+    rows = query_map()["tx_dedup_chunks_rebuild"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert all(0 <= r["n_dropped"] <= r["n_chunks"] for r in rows)
+    assert sum(r["n_dropped"] for r in rows) > 0  # dup families exist
+    # the first doc processed (doc_id 0... lowest id) keeps everything:
+    # its chunks are all first occurrences unless self-duplicated
+    first = min(rows, key=lambda r: r["doc_id"])
+    assert first["n_chunks"] - first["n_dropped"] >= 1
+
+
+def test_quality_classifier_decision_is_integer_exact(spark, sf_dir):
+    """keep flag must equal (logit_milli > 0) exactly, scores in (0,1),
+    and results identical under repartitioning (exact integer sums)."""
+    fn = query_map()["s_quality_classifier"]
+    rows = fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["keep"] == (r["logit_milli"] > 0)
+        assert 0.0 < r["quality_score"] < 1.0
+    a = {r["doc_id"]: r["logit_milli"] for r in rows}
+    b = {r["doc_id"]: r["logit_milli"] for r in fn(spark, sf_dir).collect()}
+    assert a == b
