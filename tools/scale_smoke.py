@@ -56,6 +56,18 @@ DEFAULT_QUERIES = [
     "w_cohort_retention",
     "g_triangle_counts",
     "tx_bpe_merges",
+    # round-3 additions: fixed-point graph ranks, Arrow BPE apply,
+    # chunk-dedup corpus rebuild, md5 LSH banding, CMS, quantized
+    # retrieval, unrolled-greedy MMR
+    "d_pagerank_neardup",
+    "tx_textrank_keywords",
+    "tx_bpe_tokenize",
+    "tx_dedup_chunks_rebuild",
+    "d_minhash_lsh_md5_pairs",
+    "g_countmin_heavy_hitters",
+    "v_sign_hamming_topk",
+    "v_mmr_rerank",
+    "s_quality_classifier",
 ]
 
 
