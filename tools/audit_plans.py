@@ -45,6 +45,10 @@ NLJ_ALLOWED = {
     "dq_psi_drift",        # 1-row bounds/totals/psi-total broadcasts onto |bins| rows
     "v_lsh_recall_at_k",   # inherits v_knn_join's broadcast probe x corpus exact side
     "tx_bpe_merges",       # merge table materialized via createDataFrame (scan-free plan)
+    "g_countmin_heavy_hitters",  # 1-row token-total broadcast onto vocab-sized estimates
+    "t_tfidf_topk",        # 1-row corpus-stats (N, df) broadcast — BM25 shape
+    "v_sign_hamming_topk",  # 1-row probe code broadcast onto the code scan
+    "v_matryoshka_prefix_topk",  # 1-row probe vector broadcast
     "entry",
 }
 
