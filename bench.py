@@ -121,6 +121,7 @@ HEADLINE = [
     "v_mmr_rerank",
     "tx_dedup_chunks_rebuild",
     "s_quality_classifier",
+    "v_kmeans_clusters",
 ]
 
 

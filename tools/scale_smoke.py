@@ -43,7 +43,6 @@ DEFAULT_QUERIES = [
     "t_bm25_keyword_topk",
     "v_hybrid_rrf_fusion",
     "v_pq_adc_topk",
-    "d_pagerank_neardup",
     "tx_vocab_build",
     "v_negative_samples",
     "g_zorder_orders",
@@ -68,6 +67,7 @@ DEFAULT_QUERIES = [
     "v_sign_hamming_topk",
     "v_mmr_rerank",
     "s_quality_classifier",
+    "v_kmeans_clusters",
 ]
 
 
