@@ -123,3 +123,31 @@ def test_kmeans_fixed_point_properties(spark, sf_dir):
     # init members: vector i < 16 starts as centroid i, so after
     # convergence its own cluster distance stays finite and bounded
     assert all(0 <= c < 16 for c, _ in a.values())
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """Duplicate seed vectors: vec 1's seed centroid equals vec 0's, so
+    every point ties to the LOWER cluster id and cluster 1 goes empty —
+    it must keep its previous centroid (not crash or NaN) and the final
+    assignment stays deterministic."""
+    from ingestion_pipeline_spark.operators.kmeans import kmeans_fixed_point
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),      # identical seed -> cluster 1 empties out
+        (2, [10.0, 10.0]),
+        (3, [0.01, 0.0]),
+        (4, [10.0, 10.01]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_fixed_point(df, k=3, iters=3).collect()
+    }
+    # round 1: ties go to the LOWER cid, so cluster 1 empties and HOLDS
+    # [0,0]; cluster 0's mean then shifts to [1,0] milli-units, after
+    # which the exact-zero points re-assign to the held centroid — the
+    # empty cluster survived with its position intact (no crash/NaN)
+    assert got[0] == 1 and got[1] == 1
+    assert got[3] == 0  # [10,0] milli: closer to [1,0] than to [0,0]
+    assert got[2] == 2 and got[4] == 2
