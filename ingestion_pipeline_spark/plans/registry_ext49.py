@@ -89,6 +89,8 @@ def _bucket_sql(r: int) -> str:
     "vocab-sized, never corpus-sized.",
 )
 def g_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_estimates
+
     docs = spread(table(spark, sf_dir, "documents"))
     words = (
         docs.select(
@@ -101,38 +103,13 @@ def g_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-    ).localCheckpoint(eager=True)  # vocab-sized; reused 3x below
-
-    def bucket(r: int) -> F.Column:
-        return (
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{r}|"), F.col("word"))), 1, 8), 16, 10)
-            .cast("long")
-            % _CMS_W
-        )
-
-    cells = None
-    for r in range(_CMS_D):
-        part = words.select(
-            F.lit(r).alias("r"), bucket(r).alias("bucket"), "cnt", "word"
-        )
-        cells = part if cells is None else cells.unionByName(part)
-    sketch = cells.groupBy("r", "bucket").agg(F.sum("cnt").alias("counter"))
+    ).localCheckpoint(eager=True)  # vocab-sized; reused by sketch + probes
     total = words.agg(F.sum("cnt").alias("n_tokens"))
-    est = (
-        cells.select("word", "r", "bucket")
-        .join(F.broadcast(sketch), ["r", "bucket"])
-        .groupBy("word")
-        .agg(F.min("counter").alias("cms_estimate"))
-    )
     return (
-        words.join(est, "word")
+        cms_estimates(words, _CMS_D, _CMS_W)
         .crossJoin(F.broadcast(total))
         .filter(F.col("cms_estimate") * _HH_FRACTION >= F.col("n_tokens"))
-        .select(
-            "word",
-            F.col("cnt").alias("exact_count"),
-            "cms_estimate",
-        )
+        .select("word", F.col("cnt").alias("exact_count"), "cms_estimate")
     )
 
 

@@ -361,3 +361,92 @@ def test_time_weighted_avg_matches_reference(spark, events):
             continue
         expect = sum(Fraction(dt) * v for dt, v in ivals) / sum(dt for dt, _ in ivals)
         assert abs(got[u] - float(expect)) < 1e-9
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=4),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@SLOW
+def test_countmin_overestimate_invariant(spark, words):
+    """CMS estimates dominate exact counts for ANY word multiset, and
+    merging two half-corpus sketches equals the whole-corpus sketch
+    (mergeable-state contract), with a tiny w to force collisions."""
+    from collections import Counter
+
+    from ingestion_pipeline_spark.operators.sketch import cms_estimates, cms_sketch
+
+    counts = Counter(words)
+    wc = spark.createDataFrame(list(counts.items()), "word string, cnt long")
+    got = {r["word"]: (r["cnt"], r["cms_estimate"])
+           for r in cms_estimates(wc, d=2, w=4).collect()}
+    assert set(got) == set(counts)
+    for w_, (cnt, est) in got.items():
+        assert cnt == counts[w_]
+        assert est >= cnt  # the CMS guarantee, forced collisions included
+
+    # mergeability: sketch(half1) + sketch(half2) == sketch(all)
+    items = sorted(counts.items())
+    h1 = spark.createDataFrame(items[::2], "word string, cnt long") if items[::2] else None
+    h2 = spark.createDataFrame(items[1::2], "word string, cnt long") if items[1::2] else None
+    parts = [p for p in (h1, h2) if p is not None]
+    merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    merged_sketch = {
+        (r["r"], r["bucket"]): r["counter"]
+        for r in cms_sketch(merged, d=2, w=4).collect()
+    }
+    whole_sketch = {
+        (r["r"], r["bucket"]): r["counter"]
+        for r in cms_sketch(wc, d=2, w=4).collect()
+    }
+    assert merged_sketch == whole_sketch
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.text(alphabet="ab", min_size=1, max_size=3), min_size=0, max_size=8)
+        .map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@SLOW
+def test_bpe_arrow_apply_matches_python(spark, docs):
+    """Arrow BPE apply == pure-Python greedy apply on arbitrary corpora
+    and an arbitrary (here: trained-on-the-same-corpus) merge list."""
+    import re
+
+    from ingestion_pipeline_spark.operators.bpe import (
+        bpe_tokenize_counts_arrow,
+        bpe_train_local,
+        word_frequencies,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    learned = bpe_train_local(spark, word_frequencies(df, top_n=20), n_merges=4).collect()
+    merges = [(r["pair_a"], r["pair_b"]) for r in learned]
+
+    def apply_word(w):
+        sym = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_tokenize_counts_arrow(df, merges).collect()
+    }
+    for i, text in enumerate(docs):
+        ws = [w for w in re.split(r"[^a-z]+", text.lower()) if w]
+        assert got[i] == (len(ws), sum(len(apply_word(w)) for w in ws))
