@@ -122,6 +122,7 @@ HEADLINE = [
     "tx_dedup_chunks_rebuild",
     "s_quality_classifier",
     "v_kmeans_clusters",
+    "d_lpa_communities",
 ]
 
 

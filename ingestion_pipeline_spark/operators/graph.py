@@ -193,6 +193,60 @@ def pagerank(
 PR_SCALE = 10**12  # fixed-point rank unit: 1.0 == 10^12
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over the symmetrized edge list — ``(n, community)``.
+
+    Semantics (deterministic by construction, mirrored by the SQL
+    oracle): labels start as node ids; each round every node adopts the
+    majority label among its neighbours PLUS its own current label
+    (the self-vote damps the 2-cycle oscillation synchronous LPA is
+    prone to), ties broken by the SMALLEST label. All-integer algebra —
+    counts and labels — so a fixed ``iters`` unrolls into oracle CTEs
+    exactly like the fixed-point PageRank.
+
+    Differs from ``connected_components`` (which floods the MINIMUM
+    label through every connected node): majority voting stops at
+    weakly-connected boundaries, so one component can hold several
+    communities — the right granularity for 'which dup-family wrote
+    this boilerplate' style questions. Per round: one edges⋈labels
+    shuffle + one (node, label) count + one argmax window."""
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = fwd.union(
+        fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        sym.select(F.col("s").alias("n")).distinct().localCheckpoint(eager=True)
+    )
+    labels = nodes.select("n", F.col("n").alias("label"))
+
+    from pyspark.sql.window import Window
+
+    for _ in range(iters):
+        neigh = sym.join(
+            labels.select(F.col("n").alias("s"), "label"), "s"
+        ).select(F.col("d").alias("n"), "label")
+        votes = (
+            neigh.unionByName(labels)  # self-vote
+            .groupBy("n", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("label"))
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("n", "label")
+            .localCheckpoint(eager=True)
+        )
+
+    return labels.select("n", F.col("label").alias("community"))
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     src: str = "src",

@@ -50,3 +50,4 @@ from . import registry_ext48  # noqa: F401  — value-gated md5 MinHash-LSH band
 from . import registry_ext49  # noqa: F401  — count-min sketch, tf-idf, sign-bit Hamming, Matryoshka prefix
 from . import registry_ext50  # noqa: F401  — chunk-dedup corpus rebuild, hashed linear quality classifier
 from . import registry_ext51  # noqa: F401  — distributed exact k-means
+from . import registry_ext52  # noqa: F401  — label-propagation communities

@@ -233,3 +233,26 @@ def test_pagerank_fixed_point_tracks_float_reference(spark):
     # same ordering conclusions as the float path
     assert got[0] > got[1]
     assert got[10] == got[11]
+
+
+def test_label_propagation_semantics(spark):
+    """LPA on two triangles joined by ONE bridge edge: connected
+    components would merge everything into one cluster; majority-vote
+    LPA must keep the two dense triangles as separate communities."""
+    from ingestion_pipeline_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),      # triangle A
+        (10, 11), (11, 12), (10, 12),  # triangle B
+        (3, 10),                       # weak bridge
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    lpa = {r["n"]: r["community"] for r in label_propagation(df, iters=4).collect()}
+    cc = {r["n"]: r["component"] for r in connected_components(df).collect()}
+    assert len(set(cc.values())) == 1       # one component (bridged)
+    assert lpa[1] == lpa[2] == lpa[3]       # triangle A is one community
+    assert lpa[10] == lpa[11] == lpa[12]    # triangle B is one community
+    assert lpa[1] != lpa[10]                # ...and they stay distinct

@@ -68,6 +68,7 @@ DEFAULT_QUERIES = [
     "v_mmr_rerank",
     "s_quality_classifier",
     "v_kmeans_clusters",
+    "d_lpa_communities",
 ]
 
 
