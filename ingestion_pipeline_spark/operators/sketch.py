@@ -62,3 +62,42 @@ def cms_estimates(word_counts: DataFrame, d: int = CMS_D, w: int = CMS_W) -> Dat
         .agg(F.min("counter").alias("cms_estimate"))
     )
     return word_counts.join(est, "word")
+
+
+def cms_streaming_writer(path: str, word_col: str = "word", d: int = CMS_D, w: int = CMS_W):
+    """``foreachBatch`` function maintaining a DURABLE Count-Min sketch
+    under a stream: per micro-batch, sketch the batch's words and MERGE
+    (counter-wise sum) into the stored (r, bucket, counter) table.
+
+    This is the streaming face of the sketch's mergeability: the stored
+    table after N batches is identical to sketching the concatenated
+    stream in one shot (asserted in tests). Each batch costs one
+    batch-sized aggregate + a (d x w)-row read-merge-write — state size
+    is CONSTANT (~1k rows) no matter how much data has flowed.
+
+    Path existence is probed explicitly (the round-2-advisor
+    discipline: a transient read error must propagate, not silently
+    restart the sketch from zero)."""
+
+    def write_batch(batch, batch_id: int) -> None:
+        spark = batch.sparkSession
+        wc = batch.groupBy(F.col(word_col).alias("word")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        delta = cms_sketch(wc, d, w)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            stored = spark.read.parquet(path)
+            merged = (
+                stored.unionByName(delta)
+                .groupBy("r", "bucket")
+                .agg(F.sum("counter").alias("counter"))
+            )
+        else:
+            merged = delta
+        # d x w rows: localCheckpoint cuts the self-read lineage so the
+        # overwrite never races its own source files
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    return write_batch

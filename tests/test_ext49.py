@@ -151,3 +151,52 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert got[0] == 1 and got[1] == 1
     assert got[3] == 0  # [10,0] milli: closer to [1,0] than to [0,0]
     assert got[2] == 2 and got[4] == 2
+
+
+def test_cms_streaming_maintenance_equals_batch(spark, tmp_path):
+    """Sketch maintained incrementally under a file stream == sketch of
+    the whole corpus in one shot (the mergeable-state contract under
+    foreachBatch), with constant state size (d x w rows)."""
+    import json
+
+    from ingestion_pipeline_spark.operators.sketch import (
+        cms_sketch,
+        cms_streaming_writer,
+    )
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "words"
+    src.mkdir()
+    all_words = []
+    for b in range(3):
+        rows = [f"w{(b * 7 + i) % 5}" for i in range(10)]
+        all_words.extend(rows)
+        (src / f"b{b}.json").write_text(
+            "\n".join(json.dumps({"word": x}) for x in rows)
+        )
+    sketch_path = str(tmp_path / "sketch")
+
+    stream = spark.readStream.schema("word string").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(cms_streaming_writer(sketch_path, d=2, w=8))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stored = {
+        (r["r"], r["bucket"]): r["counter"]
+        for r in spark.read.parquet(sketch_path).collect()
+    }
+    wc = (
+        spark.createDataFrame([(x,) for x in all_words], "word string")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    whole = {
+        (r["r"], r["bucket"]): r["counter"]
+        for r in cms_sketch(wc, d=2, w=8).collect()
+    }
+    assert stored == whole
+    assert len(stored) <= 2 * 8
