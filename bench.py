@@ -123,6 +123,7 @@ HEADLINE = [
     "s_quality_classifier",
     "v_kmeans_clusters",
     "d_lpa_communities",
+    "d_personalized_pagerank",
 ]
 
 

@@ -315,6 +315,78 @@ def pagerank_fixed_point(
     return ranks.select("n", "rank_fp")
 
 
+def personalized_pagerank_fixed_point(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """Personalized (seeded) fixed-point PageRank: the restart mass
+    returns to the SEED SET instead of uniformly — rank concentrates
+    around the seeds, which is the crawl-frontier / seed-expansion
+    primitive of data curation ("find documents like these vetted
+    ones"). Same integer arithmetic contract as ``pagerank_fixed_point``
+    (1e-12 BIGINT units, div shares, 85/100 damping), so the DuckDB
+    oracle unrolls it identically; ``seeds`` must be a single-column
+    DataFrame of node ids (a subset of the graph's nodes).
+
+    Init: seeds start with ``PR_SCALE // |S|`` each, non-seeds 0.
+    Per round: ``r' = [n in S] * (15*SCALE)//(100*|S|) +
+    (85*contrib) div 100``."""
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    fwd = fwd.union(
+        fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        fwd.select(F.col("s").alias("n"))
+        .union(fwd.select(F.col("d").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_col = seeds.columns[0]
+    seed_nodes = (
+        nodes.join(
+            F.broadcast(seeds.select(F.col(seed_col).alias("n"))), "n"
+        ).localCheckpoint(eager=True)
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        return nodes.select("n", F.lit(0).cast("long").alias("rank_fp"))
+    deg = fwd.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+
+    flagged = nodes.join(
+        F.broadcast(seed_nodes.select("n", F.lit(1).alias("is_seed"))), "n", "left"
+    ).select("n", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+    init = PR_SCALE // n_seeds
+    base = (15 * PR_SCALE) // (100 * n_seeds)
+    ranks = flagged.select(
+        "n", (F.col("is_seed") * F.lit(init)).cast("long").alias("rank_fp")
+    )
+
+    for it in range(iters):
+        shares = ranks.join(deg, ranks.n == deg.s).select(
+            "s", F.expr("rank_fp div deg").alias("share")
+        )
+        contribs = (
+            fwd.join(shares, "s")
+            .groupBy(F.col("d").alias("n"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = flagged.join(contribs, "n", "left").select(
+            "n",
+            (
+                (F.col("is_seed") * F.lit(base)).cast("long")
+                + F.expr("(85 * coalesce(contrib, 0)) div 100")
+            ).alias("rank_fp"),
+        )
+        if (it + 1) % checkpoint_interval == 0 or it == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+
+    return ranks.select("n", "rank_fp")
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",

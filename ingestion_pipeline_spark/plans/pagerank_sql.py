@@ -50,3 +50,46 @@ def pagerank_fp_ctes(iters: int = 10) -> str:
     )"""
         )
     return ",\n    ".join(parts)
+
+
+def personalized_pagerank_fp_ctes(seed_pred: str, iters: int = 10) -> str:
+    """Personalized variant: restart mass returns to the seed set.
+    ``seed_pred`` is a SQL predicate over column ``n`` (e.g.
+    ``n % 50 = 0``) selecting seed nodes among ``pr_nodes``. Exposes
+    ``pr_r{iters}(n, r)``. Mirrors
+    ``operators/graph.py:personalized_pagerank_fixed_point``."""
+    parts = [
+        "pr_edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs)",
+        "pr_nodes AS (SELECT DISTINCT s AS n FROM pr_edges)",
+        f"pr_seeds AS (SELECT n FROM pr_nodes WHERE {seed_pred})",
+        "pr_meta AS (SELECT COUNT(*) AS ns FROM pr_seeds)",
+        "pr_deg AS (SELECT s, COUNT(*) AS deg FROM pr_edges GROUP BY s)",
+        f"""pr_r0 AS (
+      SELECT pn.n,
+             CAST(CASE WHEN ps.n IS NOT NULL
+                       THEN {SCALE} // (SELECT ns FROM pr_meta)
+                       ELSE 0 END AS BIGINT) AS r
+      FROM pr_nodes pn LEFT JOIN pr_seeds ps ON pn.n = ps.n
+    )""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""pr_r{k} AS (
+      SELECT pn.n,
+             CAST(CASE WHEN ps.n IS NOT NULL
+                       THEN (15 * {SCALE}) // (100 * (SELECT ns FROM pr_meta))
+                       ELSE 0 END
+                  + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS r
+      FROM pr_nodes pn
+      LEFT JOIN pr_seeds ps ON pn.n = ps.n
+      LEFT JOIN (
+          SELECT e.d AS n, CAST(SUM(r.r // g.deg) AS BIGINT) AS contrib
+          FROM pr_edges e
+          JOIN pr_r{k - 1} r ON e.s = r.n
+          JOIN pr_deg g ON e.s = g.s
+          GROUP BY e.d
+      ) c ON pn.n = c.n
+    )"""
+        )
+    return ",\n    ".join(parts)

@@ -74,3 +74,47 @@ def d_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(pairs, "id_a", "id_b", iters=_ITERS).select(
         F.col("n").alias("vec_id"), "community"
     )
+
+
+from ..operators.graph import PR_SCALE, personalized_pagerank_fixed_point  # noqa: E402
+from .pagerank_sql import personalized_pagerank_fp_ctes  # noqa: E402
+
+
+@register(
+    "d_personalized_pagerank",
+    f"""
+    WITH {_NEARDUP_PAIRS_SQL},
+    {personalized_pagerank_fp_ctes("n % 50 = 0", 10)}
+    SELECT n AS vec_id, r AS rank_fp,
+           ROUND(CAST(r AS DOUBLE) / {PR_SCALE}, 9) AS rank
+    FROM pr_r10 WHERE r > 0
+    """,
+    "Personalized (seeded) PageRank over the near-dup graph: restart "
+    "mass returns to the seed set (every 50th vec_id — a stand-in for "
+    "'vetted' documents), so rank measures proximity to the seeds — "
+    "the crawl-frontier / seed-expansion primitive of data curation. "
+    "Same fixed-point integer contract as d_pagerank_neardup, same "
+    "unrolled oracle; zero-rank nodes (unreachable from seeds) are "
+    "filtered on both sides.",
+)
+def d_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import REGISTRY
+
+    pairs = REGISTRY["d_embedding_near_dups"].spark(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    nodes = pairs.select(F.col("id_a").alias("n")).union(
+        pairs.select(F.col("id_b").alias("n"))
+    ).distinct()
+    seeds = nodes.filter(F.col("n") % 50 == 0)
+    ranks = personalized_pagerank_fixed_point(pairs, seeds, "id_a", "id_b", iters=10)
+    return (
+        ranks.filter(F.col("rank_fp") > 0)
+        .select(
+            F.col("n").alias("vec_id"),
+            "rank_fp",
+            F.round(F.col("rank_fp").cast("double") / F.lit(PR_SCALE), 9).alias(
+                "rank"
+            ),
+        )
+    )

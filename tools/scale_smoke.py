@@ -69,6 +69,7 @@ DEFAULT_QUERIES = [
     "s_quality_classifier",
     "v_kmeans_clusters",
     "d_lpa_communities",
+    "d_personalized_pagerank",
 ]
 
 
