@@ -92,53 +92,56 @@ def register(name: str, sql: Optional[str], doc: str):
 # the genuinely non-SQL-expressible entries (approximate ANN / sketch
 # ops, graded rows-only) last.
 GRADED_WINDOW = [
-    # Round-3 rotation: 16 round-2-green slots swapped for 16 never-
-    # driver-graded oracle entries (verdict r2 directive #6), including
-    # the 5 latent-HUGEINT queries fixed this round and g_value_trend's
-    # decimal-coercion fix — so the driver itself certifies the repairs.
-    # Rotated-out queries remain locally gated by check_correctness.py.
-    # TPC-H-shaped analytics (q3 out; q9's 3-way-join profit rollup in)
+    # Round-3 rotation: 24 never-driver-graded oracle entries in this
+    # window (verdict r2 directive #6) — the 5 latent-HUGEINT fixes,
+    # g_value_trend's decimal fix, the iterative ops converted to
+    # unrolled-CTE oracles this round (PageRank, TextRank-family LPA /
+    # personalized PageRank, BPE apply, MMR, k-means), and the new
+    # sketch/quantized-vector/corpus-surgery families — so the driver
+    # itself certifies the round-3 work. Every rotated-out query stays
+    # locally gated by check_correctness.py at sf0.001/0.01/0.1.
     "q1_pricing_summary", "q5_region_revenue", "q9_nation_profit",
-    # fuzzy entity resolution, lexical retrieval, data-quality gating,
-    # write-side layout
-    "j_fuzzy_name_pairs", "t_bm25_keyword_topk",
-    "dq_orders_expectations", "g_zorder_orders",
+    # lexical + hybrid retrieval, data-quality gating
+    "t_bm25_keyword_topk", "t_tfidf_topk", "dq_orders_expectations",
     # filters
     "f_orders_combo",
     # joins (semi, as-of, point-in-time)
     "j_big_spender_semi", "j_asof_click_before_purchase",
     "j_point_in_time_enrich",
-    # aggregation (incl. the incremental-rollup merge identity and the
-    # exact-decimal trend statistics)
+    # aggregation / sketches
     "g_events_stats", "g_grouping_sets_revenue",
     "g_incremental_rollup_refresh", "g_value_trend",
+    "g_countmin_heavy_hitters",
     # top-k / ordering (t_topk_per_group_pandas = the applyInPandas
     # extension point, §2.12 UDF-3, under the value-hash gate)
     "t_top3_orders_per_customer", "t_topk_per_group_pandas",
     "t_inverted_index",
     # windows / time
-    "w_hourly_event_rollup", "w_sessionize_events",
-    "w_session_window_rollup", "w_zscore_anomalies",
-    "w_time_weighted_avg",
+    "w_sessionize_events", "w_session_window_rollup",
+    "w_zscore_anomalies", "w_time_weighted_avg",
     # nested extraction / templates
     "p_props_extraction", "p_embed_text_template",
     # string / regex
-    "x_explode_cve_join", "x_text_stats",
+    "x_explode_cve_join",
     # set ops (E1 via e_rag_verdicts)
     "e_rag_verdicts",
     # vector search / embedding generation (V1/V2 gate) / numpy-kernel
-    # LSH ANN (§2.12 UDF-5) / hybrid lexical+vector fusion
-    "v_cosine_top8", "v_knn_join", "v_two_stage_rerank",
-    "v_embed_hashing_check", "v_lsh_knn_join", "v_hybrid_rrf_fusion",
-    # dedup family (containment = asymmetric near-dup)
-    "d_exact_dup_groups", "d_simhash16_portable",
-    "d_embedding_near_dups", "d_dup_clusters", "d_containment_pairs",
-    # scoring / RAG / text-analysis / multimodal / pipelines / sources
-    "s_confidence_scores", "rag_context_block", "tx_langid",
-    "tx_unicode_normalize", "mm_media_features",
-    "pipeline_corpus_prep", "pipeline_corpus_stats",
-    "pipeline_shard_manifest", "mm_ahash_dup_groups",
-    "s_pyds_nvd_scan", "s_target_encoding",
+    # LSH ANN (§2.12 UDF-5) / fusion / quantized retrieval / MMR /
+    # distributed exact k-means
+    "v_knn_join", "v_two_stage_rerank", "v_embed_hashing_check",
+    "v_lsh_knn_join", "v_hybrid_rrf_fusion", "v_sign_hamming_topk",
+    "v_matryoshka_prefix_topk", "v_mmr_rerank", "v_kmeans_clusters",
+    # dedup / graph family
+    "d_simhash16_portable", "d_embedding_near_dups", "d_dup_clusters",
+    "d_containment_pairs", "d_minhash_lsh_md5_pairs",
+    "d_pagerank_neardup", "d_lpa_communities",
+    # scoring / text-analysis / tokenizer / pipelines / sources
+    # (rag_context_block rotated out after two green rounds)
+    "s_confidence_scores",
+    "tx_unicode_normalize", "tx_dedup_chunks_rebuild",
+    "tx_bpe_tokenize", "s_quality_classifier",
+    "pipeline_corpus_stats", "pipeline_shard_manifest",
+    "s_pyds_nvd_scan",
 ]
 
 
