@@ -124,6 +124,7 @@ HEADLINE = [
     "v_kmeans_clusters",
     "d_lpa_communities",
     "d_personalized_pagerank",
+    "pipeline_clean_corpus",
 ]
 
 

@@ -51,3 +51,4 @@ from . import registry_ext49  # noqa: F401  — count-min sketch, tf-idf, sign-b
 from . import registry_ext50  # noqa: F401  — chunk-dedup corpus rebuild, hashed linear quality classifier
 from . import registry_ext51  # noqa: F401  — distributed exact k-means
 from . import registry_ext52  # noqa: F401  — label-propagation communities
+from . import registry_ext53  # noqa: F401  — curation capstone: dedup-rebuild -> classifier gate

@@ -35,10 +35,9 @@ _CHUNK = 10  # words per chunk
 _TOKS = SQL_TOKENS.format(col="text")
 
 
-@register(
-    "tx_dedup_chunks_rebuild",
-    f"""
-    WITH chunks AS MATERIALIZED (
+# Shared CTE chain (also composed by pipeline_clean_corpus, ext53):
+# chunks -> first-occurrence filter -> per-doc rebuilt text + counts
+CHUNK_DEDUP_CTES = f"""chunks AS MATERIALIZED (
         SELECT doc_id, i AS idx,
                array_to_string(tk[i * {_CHUNK} + 1 : (i + 1) * {_CHUNK}], ' ') AS chunk
         FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) d,
@@ -50,7 +49,7 @@ _TOKS = SQL_TOKENS.format(col="text")
                                   ORDER BY doc_id, idx) AS occurrence
         FROM chunks
     ),
-    rebuilt AS (
+    rebuilt AS MATERIALIZED (
         SELECT doc_id,
                string_agg(chunk, ' ' ORDER BY idx) AS text_dedup,
                CAST(COUNT(*) AS BIGINT) AS n_kept
@@ -60,7 +59,13 @@ _TOKS = SQL_TOKENS.format(col="text")
     totals AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM chunks
         GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "tx_dedup_chunks_rebuild",
+    f"""
+    WITH {CHUNK_DEDUP_CTES}
     SELECT d.doc_id,
            COALESCE(r.text_dedup, '') AS text_dedup,
            COALESCE(t.n_chunks, 0) AS n_chunks,
@@ -81,8 +86,14 @@ _TOKS = SQL_TOKENS.format(col="text")
 )
 def tx_dedup_chunks_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
+    return chunk_dedup_rebuild(docs)
+
+
+def chunk_dedup_rebuild(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text_dedup, n_chunks, n_dropped) — reusable core; also
+    the first stage of pipeline_clean_corpus (ext53)."""
     tk = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
     with_tk = docs.select("doc_id", tk.alias("tk"))
     n_chunks = F.ceil(F.size("tk") / F.lit(float(_CHUNK))).cast("long")
@@ -147,6 +158,27 @@ _WEIGHT_SQL = (
 )
 
 
+def classifier_ctes(src: str, text_expr: str) -> str:
+    """CTE chain (tok -> weighted -> logits) scoring ``text_expr`` of
+    table/CTE ``src`` — exposed so pipeline_clean_corpus (ext53) can
+    apply the classifier to the chunk-dedup REBUILT text."""
+    toks = SQL_TOKENS.format(col=text_expr)
+    return f"""tok AS (
+        SELECT doc_id, t.word AS word
+        FROM (SELECT doc_id, {toks} AS tk FROM {src}) d,
+             UNNEST(tk) AS t(word)
+    ),
+    weighted AS (
+        SELECT doc_id, {_WEIGHT_SQL} AS w_milli FROM tok t
+    ),
+    logits AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(SUM(w_milli) AS BIGINT) AS logit_milli,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM weighted GROUP BY doc_id
+    )"""
+
+
 @register(
     "s_quality_classifier",
     f"""
@@ -185,8 +217,14 @@ _WEIGHT_SQL = (
 )
 def s_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
+    return classifier_scores(docs)
+
+
+def classifier_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, logit_milli, quality_score, keep) — reusable core; also
+    the scoring stage of pipeline_clean_corpus (ext53)."""
     tk = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
     tok = docs.select("doc_id", F.explode(tk).alias("word"))
     bucket = (

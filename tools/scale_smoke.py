@@ -70,6 +70,7 @@ DEFAULT_QUERIES = [
     "v_kmeans_clusters",
     "d_lpa_communities",
     "d_personalized_pagerank",
+    "pipeline_clean_corpus",
 ]
 
 
