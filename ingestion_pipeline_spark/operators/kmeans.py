@@ -52,6 +52,20 @@ def kmeans_fixed_point(
 ) -> DataFrame:
     """Returns the final assignment ``(vec_id, cluster, dist_sq)`` after
     ``iters`` Lloyd rounds of exact integer k-means."""
+    assign, _ = kmeans_fit(emb, k, iters, vec_col, id_col)
+    return assign
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """``(assignment_df, centroids_int64_ndarray)`` — the fit form, for
+    operators that need the trained centroids too (IVF cell selection,
+    v_ivf_exact_topk)."""
     import numpy as np
     import pandas as pd
 
@@ -109,4 +123,4 @@ def kmeans_fixed_point(
             new_cent[r["cluster"], r["i"]] = r["c"]
         cent = new_cent
 
-    return q.mapInPandas(make_assigner(cent.copy()), out_schema)
+    return q.mapInPandas(make_assigner(cent.copy()), out_schema), cent

@@ -52,7 +52,10 @@ def _update_cte(t: int, dim: int) -> str:
     )"""
 
 
-def kmeans_sql(k: int = 16, iters: int = 3, dim: int = 64) -> str:
+def kmeans_ctes(k: int = 16, iters: int = 3, dim: int = 64) -> str:
+    """The CTE chain alone — exposes ``q`` (quantized vectors),
+    ``c{iters}`` (final centroids) and ``a{iters + 1}`` (final
+    assignment) for composition (v_ivf_exact_topk)."""
     parts = [
         "q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
         f"x -> CAST(ROUND(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)) AS v "
@@ -64,8 +67,11 @@ def kmeans_sql(k: int = 16, iters: int = 3, dim: int = 64) -> str:
         parts.append(_assign_cte(t, k, dim))
         parts.append(_update_cte(t, dim))
     parts.append(_assign_cte(iters + 1, k, dim))
-    joined = ",\n    ".join(parts)
+    return ",\n    ".join(parts)
+
+
+def kmeans_sql(k: int = 16, iters: int = 3, dim: int = 64) -> str:
     return f"""
-    WITH {joined}
+    WITH {kmeans_ctes(k, iters, dim)}
     SELECT vec_id, cluster, dist AS dist_sq FROM a{iters + 1}
     """
