@@ -3,8 +3,10 @@
 Pure column arithmetic reproducing the reference's exact constants:
 
 - confidence: base 0.5 + 0.25·has_vector + 0.25·completeness; llm score
-  0.6·base + 0.4·min(1, words/100); final 0.7·base + 0.3·llm, round 2dp,
-  clamp [0,1]  (llama-chatbot/main.py:168-215).
+  clamp(0.6·words(vector_evidence)/100 + 0.4·words(nvd_evidence)/100) —
+  two word-count legs, one per evidence source, absent source → 0, no
+  per-leg cap (only the outer clamp); final 0.7·base + 0.3·llm, round
+  2dp, clamp [0,1]  (llama-chatbot/main.py:168-215).
 - RAG eval verdict TP/FP/FN via phrase-set provenance
   (llama-chatbot/eval.py:16-30).
 """
@@ -35,10 +37,19 @@ def base_confidence(has_vector: Column, completeness: Column) -> Column:
     return clamp01(F.lit(0.5) + F.when(has_vector, 0.25).otherwise(0.0) + F.lit(0.25) * completeness)
 
 
-def llm_confidence(base: Column, answer_text: Column) -> Column:
-    """llama-chatbot/main.py:209-215: 0.6·base + 0.4·min(1, words/100)."""
-    words = F.least(F.lit(1.0), token_count(answer_text) / F.lit(100.0))
-    return clamp01(F.lit(0.6) * base + F.lit(0.4) * words)
+def llm_confidence(vector_text: Column, nvd_text: Column) -> Column:
+    """llama-chatbot/main.py:209-215 (``assess_verification_with_llm``):
+
+        vector_score = len(str(vector_results).split()) / 100  if truthy else 0
+        nvd_score    = len(str(nvd_data).split()) / 100        if truthy else 0
+        clamp01(0.6 * vector_score + 0.4 * nvd_score)
+
+    Two word-count legs, one per evidence source; a NULL/empty source
+    contributes 0; there is NO per-leg min(1, ·) cap — only the outer
+    clamp (a 200-word vector answer alone saturates the score)."""
+    vector_score = F.coalesce(token_count(vector_text), F.lit(0)) / F.lit(100.0)
+    nvd_score = F.coalesce(token_count(nvd_text), F.lit(0)) / F.lit(100.0)
+    return clamp01(F.lit(0.6) * vector_score + F.lit(0.4) * nvd_score)
 
 
 def final_confidence(base: Column, llm: Column) -> Column:

@@ -28,10 +28,15 @@ def extract_first_cve(col: Column) -> Column:
 
 
 def phrase_set(col: Column) -> Column:
-    """X4/P10 — lower → split on '.' → trim → drop empties → distinct
-    (llama-chatbot/eval.py:17-19)."""
-    phrases = F.transform(F.split(F.lower(col), r"\."), lambda p: F.trim(p))
-    return F.array_distinct(F.filter(phrases, lambda p: p != F.lit("")))
+    """X4/P10 — lower → split on '.' → trim → distinct
+    (llama-chatbot/eval.py:17-19).
+
+    The empty phrase is KEPT: Python's ``"foo.".split('.')`` yields
+    ``['foo', '']`` and the reference builds its set from that, so a
+    text with a trailing period contributes ``''`` to the phrase set.
+    Dropping it flips ``context "foo." vs response "foo"`` from FN to
+    TP — the round-3 fidelity deviation, fixed in round 4."""
+    return F.array_distinct(F.transform(F.split(F.lower(col), r"\."), lambda p: F.trim(p)))
 
 
 def word_tokens(col: Column) -> Column:

@@ -822,12 +822,10 @@ def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pairs AS (
         SELECT a.doc_id,
-               list_distinct(list_filter(
-                 list_transform(string_split(lower(a.text), '.'), p -> trim(p)),
-                 p -> p <> '')) AS resp,
-               list_distinct(list_filter(
-                 list_transform(string_split(lower(b.text), '.'), p -> trim(p)),
-                 p -> p <> '')) AS ctx
+               list_distinct(
+                 list_transform(string_split(lower(a.text), '.'), p -> trim(p))) AS resp,
+               list_distinct(
+                 list_transform(string_split(lower(b.text), '.'), p -> trim(p))) AS ctx
         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
     )
     SELECT doc_id,
@@ -837,7 +835,9 @@ def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs
     """,
     "V9/E1 — the reference's RAG evaluator: phrase-set provenance "
-    "TP/FP/FN via array_except (llama-chatbot/eval.py:16-30).",
+    "TP/FP/FN via array_except (llama-chatbot/eval.py:16-30). The empty "
+    "phrase from a trailing '.' is a set member, exactly as in the "
+    "reference's str.split('.') — context 'foo.' vs response 'foo' is FN.",
 )
 def e_rag_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -1073,30 +1073,53 @@ def d_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH joined AS (
         SELECT d.doc_id, d.text,
                (e.vec_id IS NOT NULL) AS has_vector,
-               (CASE WHEN d.lang <> '' THEN 1.0 ELSE 0.0 END
-                + CASE WHEN d.source <> '' THEN 1.0 ELSE 0.0 END
-                + CASE WHEN d.n_chars > 0 THEN 1.0 ELSE 0.0 END) / 3.0 AS completeness
+               CASE WHEN e.vec_id IS NOT NULL THEN d.text END AS vector_text,
+               CASE WHEN d.source <> '' THEN d.source || ' ' || d.lang END AS nvd_text,
+               CAST(CASE WHEN d.lang <> '' THEN 1 ELSE 0 END
+                + CASE WHEN d.source <> '' THEN 1 ELSE 0 END
+                + CASE WHEN d.n_chars > 0 THEN 1 ELSE 0 END AS DOUBLE)
+                 / CAST(3.0 AS DOUBLE) AS completeness
         FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
     ), base AS (
+        -- every intermediate is IEEE DOUBLE (a DECIMAL literal anywhere
+        -- would compute exact 0.805 where Spark computes 0.80499999…)
         SELECT doc_id, has_vector,
-               LEAST(1.0, GREATEST(0.0,
-                   0.5 + CASE WHEN has_vector THEN 0.25 ELSE 0.0 END
-                       + 0.25 * completeness)) AS base_conf,
-               LEAST(1.0, CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
-                               AS DOUBLE) / 100.0) AS word_score
+               LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+                   CAST(0.5 AS DOUBLE)
+                       + CASE WHEN has_vector THEN CAST(0.25 AS DOUBLE)
+                              ELSE CAST(0.0 AS DOUBLE) END
+                       + CAST(0.25 AS DOUBLE) * CAST(completeness AS DOUBLE)))
+                 AS base_conf,
+               CAST(COALESCE(len(list_filter(
+                        string_split_regex(vector_text, '\\s+'), t -> t <> '')), 0)
+                    AS DOUBLE) / CAST(100.0 AS DOUBLE) AS vector_score,
+               CAST(COALESCE(len(list_filter(
+                        string_split_regex(nvd_text, '\\s+'), t -> t <> '')), 0)
+                    AS DOUBLE) / CAST(100.0 AS DOUBLE) AS nvd_score
         FROM joined
+    ), pre AS (
+        SELECT doc_id, has_vector,
+               LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+                   CAST(0.7 AS DOUBLE) * base_conf
+                 + CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE),
+                       GREATEST(CAST(0.0 AS DOUBLE),
+                           CAST(0.6 AS DOUBLE) * vector_score
+                         + CAST(0.4 AS DOUBLE) * nvd_score)))) AS conf
+        FROM base
     )
+    -- Spark's round(double, 2) is HALF_UP on BigDecimal.valueOf(d),
+    -- i.e. on the SHORTEST decimal repr of the double; reproduce it via
+    -- the varchar round-trip (DuckDB's double→varchar is also shortest).
     SELECT doc_id, has_vector,
-           ROUND(LEAST(1.0, GREATEST(0.0,
-               0.7 * base_conf
-             + 0.3 * LEAST(1.0, GREATEST(0.0, 0.6 * base_conf + 0.4 * word_score)))), 2)
+           CAST(ROUND(CAST(CAST(conf AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE)
              AS confidence
-    FROM base
+    FROM pre
     """,
     "V10 — the verification confidence pipeline with the reference's "
-    "exact constants (llama-chatbot/main.py:168-215): base 0.5 + "
-    "0.25·has_vector + 0.25·completeness; llm 0.6/0.4 word blend; final "
-    "0.7/0.3 rounded 2dp.",
+    "exact formula (llama-chatbot/main.py:168-215): base 0.5 + "
+    "0.25·has_vector + 0.25·completeness; llm = clamp(0.6·words(vector "
+    "evidence)/100 + 0.4·words(nvd evidence)/100) — two word-count legs, "
+    "absent leg → 0, no per-leg cap; final 0.7·base + 0.3·llm rounded 2dp.",
 )
 def s_confidence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -1105,7 +1128,9 @@ def s_confidence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     has_vec = F.col("vec_id").isNotNull()
     comp = completeness_ratio(F.col("lang") != "", F.col("source") != "", F.col("n_chars") > 0)
     base = base_confidence(has_vec, comp)
-    llm = llm_confidence(base, F.col("text"))
+    vector_text = F.when(has_vec, F.col("text"))
+    nvd_text = F.when(F.col("source") != "", F.concat_ws(" ", "source", "lang"))
+    llm = llm_confidence(vector_text, nvd_text)
     return joined.select(
         "doc_id",
         has_vec.alias("has_vector"),

@@ -42,7 +42,8 @@ def test_threshold_topk_invariants(spark, sims, k, threshold):
 
 
 def _phrases(text: str) -> set[str]:
-    return {p.strip() for p in text.lower().split(".") if p.strip()}
+    # eval.py:18-19 verbatim semantics: empties are set members
+    return {p.strip() for p in text.lower().split(".")}
 
 
 @given(

@@ -29,11 +29,16 @@ def test_extract_first_cve_empty_when_absent(spark):
 
 
 def test_phrase_set(spark):
-    """P10 — lower/split('.')/trim/distinct, empties dropped."""
+    """P10 — lower/split('.')/trim/distinct; the empty phrase from a
+    trailing '.' is KEPT (Python split keeps it; eval.py:18-19 builds
+    the set from the raw split)."""
     assert _one(spark, tx.phrase_set(F.col("t")), "Hello World. FOO.  hello world. ") == [
         "hello world",
         "foo",
+        "",
     ]
+    # no trailing period → no empty member
+    assert _one(spark, tx.phrase_set(F.col("t")), "Hello World") == ["hello world"]
 
 
 def test_token_count_matches_python_split(spark):
