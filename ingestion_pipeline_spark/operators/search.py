@@ -75,11 +75,28 @@ def bm25_scores(
         F.col("__c.dl").alias("__dl"),
         *[F.col(f"__c.tf{i}").alias(f"__tf_{i}") for i in range(len(terms))],
     )
-    stats = per_doc.agg(
+    # Corpus stats (N, avgdl, per-term df) need only doc length and
+    # term PRESENCE — both exact as native JVM expressions, so this
+    # branch never runs Python: previously it re-ran the tokenize UDF
+    # over the whole corpus a second time (the r3 bench regression on
+    # the RRF fusion plan). size(split) == len(str.split()) and
+    # array_contains(tokens, w) == (ws.count(w) > 0) bit-for-bit; the
+    # aggregate still reduces to ONE broadcastable row.
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )  # coalesce mirrors the UDF's (t or "") null guard
+    stats = docs.select(
+        F.size(toks).alias("__dl"),
+        *[
+            F.array_contains(toks, terms[i]).alias(f"__has_{i}")
+            for i in range(len(terms))
+        ],
+    ).agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg(F.col("__dl").cast("double")).alias("__avgdl"),
         *[
-            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).cast("double").alias(f"__df_{i}")
+            F.sum(F.col(f"__has_{i}").cast("long")).cast("double").alias(f"__df_{i}")
             for i in range(len(terms))
         ],
     )
