@@ -92,56 +92,51 @@ def register(name: str, sql: Optional[str], doc: str):
 # the genuinely non-SQL-expressible entries (approximate ANN / sketch
 # ops, graded rows-only) last.
 GRADED_WINDOW = [
-    # Round-3 rotation: 24 never-driver-graded oracle entries in this
-    # window (verdict r2 directive #6) — the 5 latent-HUGEINT fixes,
-    # g_value_trend's decimal fix, the iterative ops converted to
-    # unrolled-CTE oracles this round (PageRank, TextRank-family LPA /
-    # personalized PageRank, BPE apply, MMR, k-means), and the new
-    # sketch/quantized-vector/corpus-surgery families — so the driver
-    # itself certifies the round-3 work. Every rotated-out query stays
-    # locally gated by check_correctness.py at sf0.001/0.01/0.1.
-    "q1_pricing_summary", "q5_region_revenue", "q9_nation_profit",
-    # lexical + hybrid retrieval, data-quality gating
-    "t_bm25_keyword_topk", "t_tfidf_topk", "dq_orders_expectations",
-    # filters
-    "f_orders_combo",
-    # joins (semi, as-of, point-in-time)
-    "j_big_spender_semi", "j_asof_click_before_purchase",
-    "j_point_in_time_enrich",
-    # aggregation / sketches
-    "g_events_stats", "g_grouping_sets_revenue",
-    "g_incremental_rollup_refresh", "g_value_trend",
-    "g_countmin_heavy_hitters",
-    # top-k / ordering (t_topk_per_group_pandas = the applyInPandas
-    # extension point, §2.12 UDF-3, under the value-hash gate)
-    "t_top3_orders_per_customer", "t_topk_per_group_pandas",
-    "t_inverted_index",
-    # windows / time
-    "w_sessionize_events", "w_session_window_rollup",
-    "w_zscore_anomalies", "w_time_weighted_avg",
-    # nested extraction / templates
-    "p_props_extraction", "p_embed_text_template",
-    # string / regex
-    "x_explode_cve_join",
-    # set ops (E1 via e_rag_verdicts)
-    "e_rag_verdicts",
-    # vector search / embedding generation (V1/V2 gate) / numpy-kernel
-    # LSH ANN (§2.12 UDF-5) / fusion / quantized retrieval / MMR /
-    # distributed exact k-means
-    "v_knn_join", "v_two_stage_rerank", "v_embed_hashing_check",
-    "v_lsh_knn_join", "v_hybrid_rrf_fusion", "v_sign_hamming_topk",
-    "v_matryoshka_prefix_topk", "v_mmr_rerank", "v_kmeans_clusters",
-    # dedup / graph family
-    "d_simhash16_portable", "d_embedding_near_dups", "d_dup_clusters",
-    "d_containment_pairs", "d_minhash_lsh_md5_pairs",
-    "d_pagerank_neardup", "d_lpa_communities",
-    # scoring / text-analysis / tokenizer / pipelines / sources
-    # (rag_context_block rotated out after two green rounds)
-    "s_confidence_scores",
-    "tx_unicode_normalize", "tx_dedup_chunks_rebuild",
-    "tx_bpe_tokenize", "s_quality_classifier",
-    "pipeline_corpus_stats", "pipeline_shard_manifest",
-    "s_pyds_nvd_scan",
+    # Round-4 rotation (verdict r3 directives #1/#7/#8): 47 entries the
+    # driver has NEVER graded (r1-r3 covered 94 unique queries; 78
+    # oracle-backed ones remained ungraded), plus the one historical red
+    # (``w_running_user_value`` — its round-1 TIMESTAMP_NTZ error was
+    # fixed in round 1, this regrades it), plus the two queries whose
+    # semantics changed this round (``e_rag_verdicts``,
+    # ``s_confidence_scores`` — the V9/V10 reference-fidelity fixes must
+    # be re-certified under the driver's hash, not just locally).  Every
+    # rotated-out query stays locally gated by check_correctness.py at
+    # sf0.001/0.01/0.1.  All 50 entries carry oracles by construction;
+    # the retired rows-only ghosts (d_minhash_lsh_candidates,
+    # d_simhash_fingerprints, v_ivf_topk) can never re-enter.
+    #
+    # TPC-H tranche — the 13 never-graded shapes (correlated/quantified
+    # subqueries, mark-join patterns, left-anti EXISTS chains)
+    "q2_cheapest_part_per_type", "q7_nation_trade", "q8_market_share",
+    "q11_top_brand_value", "q12_priority_by_returnflag",
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q16_supplier_count_by_part", "q17_small_quantity_revenue",
+    "q19_flexible_or", "q20_heavy_suppliers",
+    "q21_sole_blocking_supplier", "q22_rich_quiet_customers",
+    # window/time family
+    "w_rank_family", "w_cohort_retention", "w_funnel_conversion",
+    "w_sliding_window_counts", "w_running_user_value",
+    "w_click_purchase_attribution", "w_scd2_user_state",
+    # curation tranche
+    "pipeline_pack_sequences", "pipeline_token_budget_select",
+    "d_contamination_5gram", "d_semantic_dedup", "tx_redact_pii",
+    "tx_gopher_quality_flags",
+    # text analysis / tokenizer
+    "tx_quality_scores", "tx_token_counts", "tx_fingerprints",
+    "tx_sentence_explode", "tx_topk_bigrams", "tx_repetition_ratio",
+    "tx_unigram_surprisal", "tx_vocab_build", "tx_bpe_merges",
+    # dedup / sampling / graph
+    "d_keep_one_per_cluster", "d_stratified_sample", "d_bloom_novel_docs",
+    "g_triangle_counts",
+    # skew mitigation (oracle = the unsalted query; result-identity)
+    "j_salted_brand_revenue", "g_salted_collect_docs",
+    # relational long tail
+    "g_pivot_returnflag", "j_price_band_join", "p_map_entries",
+    "e_multiset_priorities",
+    # vectors / RAG composition
+    "v_quantize_int8", "rag_answer_end_to_end", "x_udtf_cve_refs",
+    # V9/V10 re-certification after the round-4 fidelity fixes
+    "e_rag_verdicts", "s_confidence_scores",
 ]
 
 
