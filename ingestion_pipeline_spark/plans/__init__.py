@@ -52,3 +52,5 @@ from . import registry_ext50  # noqa: F401  — chunk-dedup corpus rebuild, hash
 from . import registry_ext51  # noqa: F401  — distributed exact k-means
 from . import registry_ext52  # noqa: F401  — label-propagation communities
 from . import registry_ext53  # noqa: F401  — curation capstone: dedup-rebuild -> classifier gate
+from . import registry_ext54  # noqa: F401  — per-entity EWMA (recursive-CTE oracle), MaxSim late interaction
+from . import registry_ext55  # noqa: F401  — pretrain-corpus capstone: dedup -> gate -> pack in one plan

@@ -173,3 +173,55 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+_EWMA_STATE = StructType([StructField("last_ewma", DoubleType())])
+
+
+def stateful_user_ewma(events: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.ewma_per_entity``: the
+    same y = alpha*x + (1-alpha)*y_prev recursion with {last_ewma}
+    carried per user in the state store across micro-batches. Within a
+    micro-batch rows are processed in (ts, event_id) order; given
+    in-order arrival (or a single availableNow batch) the emitted
+    sequence is bit-identical to the batch sweep — asserted in
+    tests/test_streaming_windows.py. O(1) state per key: the 100 TB/day
+    state store holds one double per entity, nothing else."""
+
+    def sweep(
+        key: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        y = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            ys = []
+            for x in pdf["value"].astype(float):
+                y = x if y is None else alpha * x + (1.0 - alpha) * y
+                ys.append(y)
+            if ys:
+                yield pd.DataFrame(
+                    {
+                        "user_id": key[0],
+                        "event_id": pdf["event_id"].to_list(),
+                        "ewma": ys,
+                    }
+                )
+        if y is not None:
+            state.update((y,))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        sweep,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -43,6 +43,7 @@ NLJ_ALLOWED = {
     "g_triangle_counts",   # 1-row edge/node-count aggregates broadcast onto 1-row triangle count
     "g_histogram_totalprice",  # 1-row (min, max) bounds broadcast onto the scan
     "dq_psi_drift",        # 1-row bounds/totals/psi-total broadcasts onto |bins| rows
+    "v_maxsim_late_interaction",  # <=4-row query-token broadcast x doc tokens: the late-interaction shape
     "v_lsh_recall_at_k",   # inherits v_knn_join's broadcast probe x corpus exact side
     "tx_bpe_merges",       # merge table materialized via createDataFrame (scan-free plan)
     "g_countmin_heavy_hitters",  # 1-row token-total broadcast onto vocab-sized estimates
