@@ -61,3 +61,58 @@ def ewma_per_entity(
         return out
 
     return df.groupBy(entity_col).applyInPandas(sweep, out_schema)
+
+
+def holt_per_entity(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Per-entity Holt linear-trend (double exponential) smoothing:
+
+        l_1 = x_1,  b_1 = 0
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    Emits (entity, *order_cols, level, trend, forecast) with
+    forecast = l_t + b_t (the 1-step-ahead prediction). Same envelope
+    as :func:`ewma_per_entity` — one entity shuffle, O(n) Arrow sweep,
+    O(1) state (two doubles), streaming-twin-able; with alpha = beta =
+    0.5 every coefficient is an exact binary double and the COUPLED
+    recursion is bit-identical to the oracle's recursive CTE carrying
+    (l, b) through the same operand order.
+    """
+    out_schema = StructType(
+        [StructField(entity_col, LongType())]
+        + [StructField(c, LongType()) for c in order_cols]
+        + [
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        ls, bs = [], []
+        level = trend = None
+        for x in pdf[value_col].astype(float):
+            if level is None:
+                level, trend = x, 0.0
+            else:
+                prev = level
+                # operand order mirrors the recursive-CTE oracle exactly
+                level = alpha * x + (1.0 - alpha) * (prev + trend)
+                trend = beta * (level - prev) + (1.0 - beta) * trend
+            ls.append(level)
+            bs.append(trend)
+        out = pdf[[entity_col, *order_cols]].copy()
+        out["level"] = ls
+        out["trend"] = bs
+        out["forecast"] = [l + b for l, b in zip(ls, bs)]
+        return out
+
+    return df.groupBy(entity_col).applyInPandas(sweep, out_schema)

@@ -151,3 +151,57 @@ def v_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, query_doc, "text", "doc_id",
         k=10, dim=16, max_doc_tokens=8, max_query_tokens=4,
     )
+
+
+@register(
+    "w_holt_trend_forecast",
+    f"""
+    WITH RECURSIVE base AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS ts_us,
+               CAST(value AS DOUBLE) AS x,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id < {_EWMA_USERS}
+    ), rec AS (
+        SELECT user_id, event_id, ts_us, rn,
+               x AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT nx.user_id, nx.event_id, nx.ts_us, nx.rn,
+               CAST(0.5 AS DOUBLE) * nx.x
+                 + CAST(0.5 AS DOUBLE) * (r.l + r.b),
+               CAST(0.5 AS DOUBLE)
+                 * ((CAST(0.5 AS DOUBLE) * nx.x
+                       + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+                 + CAST(0.5 AS DOUBLE) * r.b
+        FROM base nx JOIN rec r
+          ON nx.user_id = r.user_id AND nx.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts_us,
+           l AS level, b AS trend, l + b AS forecast
+    FROM rec
+    """,
+    "Per-user Holt linear-trend smoothing (double exponential, "
+    "alpha=beta=0.5): level/trend recursion + 1-step-ahead forecast — "
+    "the COUPLED recursion generalizes the EWMA contract (the oracle's "
+    "recursive CTE carries (l, b) through the identical operand order, "
+    "so three float columns hash bit-exact). Same envelope: one "
+    "entity shuffle, Arrow O(n) sweep, O(1)=(two doubles) state.",
+)
+def w_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import holt_per_entity
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < _EWMA_USERS)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+    )
+    return holt_per_entity(
+        ev, "user_id", ["ts_us", "event_id"], "value", alpha=0.5, beta=0.5
+    )

@@ -451,3 +451,54 @@ def test_bpe_arrow_apply_matches_python(spark, docs):
     for i, text in enumerate(docs):
         ws = [w for w in re.split(r"[^a-z]+", text.lower()) if w]
         assert got[i] == (len(ws), sum(len(apply_word(w)) for w in ws))
+
+
+def _py_hash_vec(sent: str, dim: int = 16) -> list[int]:
+    import hashlib
+
+    vec = [0] * dim
+    for tok in sent.lower().split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")  # noqa: S324
+        vec[h % dim] += 1 if (h >> 63) & 1 == 0 else -1
+    return vec
+
+
+def _py_maxsim(doc_text: str, query_text: str, max_d=8, max_q=4) -> int | None:
+    """Independent plain-Python MaxSim evaluator (no Spark, no pandas)."""
+    def sents(t, n):
+        ss = [s.strip() for s in t.split(".") if s.strip()]
+        return ss[:n]
+
+    dv = [_py_hash_vec(s) for s in sents(doc_text, max_d)]
+    qv = [_py_hash_vec(s) for s in sents(query_text, max_q)]
+    if not dv or not qv:
+        return None
+    return sum(max(sum(a * b for a, b in zip(q, d)) for d in dv) for q in qv)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c.X", min_size=0, max_size=40), min_size=2, max_size=6
+    )
+)
+@SLOW
+def test_maxsim_matches_python_reference(spark, texts):
+    """The whole distributed MaxSim pipeline (sentence explode → Arrow
+    embed → broadcast interaction → max/sum aggs → top-k) equals the
+    sequential definition on arbitrary inputs."""
+    from ingestion_pipeline_spark.operators.similarity import maxsim_topk
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = maxsim_topk(
+        docs.filter(F.col("doc_id") != 0),
+        docs.filter(F.col("doc_id") == 0),
+        k=100,
+    ).collect()
+    got = {r["doc_id"]: r["maxsim"] for r in out}
+    want = {
+        i: _py_maxsim(t, texts[0])
+        for i, t in rows
+        if i != 0 and _py_maxsim(t, texts[0]) is not None
+    }
+    assert got == want
