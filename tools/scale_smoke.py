@@ -71,6 +71,12 @@ DEFAULT_QUERIES = [
     "d_lpa_communities",
     "d_personalized_pagerank",
     "pipeline_clean_corpus",
+    # round-4 additions: sequential per-entity state, late interaction,
+    # the dedup→gate→pack capstone
+    "w_ewma_user_value",
+    "w_holt_trend_forecast",
+    "v_maxsim_late_interaction",
+    "pipeline_pretrain_corpus",
 ]
 
 
