@@ -87,12 +87,18 @@ def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, unnest({_TOKS}) AS w FROM documents
     ),
     freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
-    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq)
-    SELECT t.doc_id,
-           COUNT(*) AS n_tokens,
-           ROUND(AVG(-log2(f.c / tot.n)), 6) AS mean_surprisal
-    FROM tok t JOIN freq f ON t.w = f.w CROSS JOIN tot
-    GROUP BY t.doc_id
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq),
+    per AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+    terms AS (
+        SELECT p.doc_id, p.tf,
+               CAST(p.tf AS DOUBLE) * (-log2(f.c / tot.n)) AS term
+        FROM per p JOIN freq f ON p.w = f.w CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           ROUND(list_aggregate(list_sort(list(term)), 'sum')
+                 / CAST(SUM(tf) AS DOUBLE), 6) AS mean_surprisal
+    FROM terms GROUP BY doc_id
     """,
     "Unigram-surprisal scoring (CCNet/KenLM perplexity-filter shape, "
     "with the corpus itself as the LM): mean -log2 p(word) per document "
@@ -101,7 +107,11 @@ def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the token; the frequency table is Zipf-skewed but the join is a "
     "plain shuffle hash join (hot words hash-spread across tasks, and "
     "in practice the head of the vocabulary broadcasts). Lowercased "
-    "whitespace tokens, same tokenizer as every tx_* oracle.",
+    "whitespace tokens, same tokenizer as every tx_* oracle. The "
+    "per-doc mean folds the per-word terms in SORTED order on both "
+    "engines (the dq_psi_drift sorted-fold discipline) — a bare "
+    "AVG(double) would be partition-order dependent and could flake "
+    "at a 6-dp rounding boundary.",
 )
 def tx_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_tokens
@@ -112,10 +122,20 @@ def tx_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = tok.groupBy("w").agg(F.count("*").alias("c"))
     tot = freq.agg(F.sum("c").cast("double").alias("n"))
-    sup = tok.join(freq, "w").join(F.broadcast(tot)).select(
-        "doc_id", (-F.log2(F.col("c") / F.col("n"))).alias("sup")
+    per = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    terms = per.join(freq, "w").join(F.broadcast(tot)).select(
+        "doc_id",
+        "tf",
+        (F.col("tf").cast("double") * -F.log2(F.col("c") / F.col("n"))).alias("term"),
     )
-    return sup.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.round(F.avg("sup"), 6).alias("mean_surprisal"),
+    folded = F.aggregate(
+        F.array_sort(F.collect_list("term")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.round(
+            folded / F.sum("tf").cast("double"), 6
+        ).alias("mean_surprisal"),
     )
