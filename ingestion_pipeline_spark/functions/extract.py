@@ -85,10 +85,25 @@ def cve_dates(cve: Column) -> tuple[Column, Column]:
     return nz_str(meta.getField("dateUpdated")), nz_str(meta.getField("datePublished"))
 
 
+# The reference's triple-quoted f-string carries its source indentation:
+# a leading newline, 12 spaces before each field line, and a trailing
+# newline + 12 spaces (consumer/consumer.py:85-89). That exact string is
+# what gets embedded, so the template reproduces it byte-for-byte —
+# normalizing the whitespace would change every embedding input
+# (round-4 fidelity fix; the V9/V10 lesson applied to P3).
+EMBED_TEXT_TEMPLATE = (
+    "\n            Title: %s"
+    "\n            CVE ID: %s"
+    "\n            Description: %s"
+    "\n            "
+)
+
+
 def embedding_text(cve: Column) -> Column:
-    """P3 — the embedding text template (consumer/consumer.py:85-89)."""
+    """P3 — the embedding text template, verbatim whitespace included
+    (consumer/consumer.py:85-89)."""
     return F.format_string(
-        "Title: %s\nCVE ID: %s\nDescription: %s",
+        EMBED_TEXT_TEMPLATE,
         cve_title(cve),
         cve_id(cve),
         cve_description(cve),
@@ -135,5 +150,14 @@ def nvd_reference_urls(nvd: Column) -> Column:
 
 # --- query rewrite (P9, chatbot/main.py:105-109) ------------------------
 
-def enhance_query(q: Column, suffix: str = " Provide detailed information about this CVE.") -> Column:
+# chatbot/main.py:105-109 verbatim: f"{query} Include technical
+# details, severity, and specific mitigation steps if available."
+# (round-4 fidelity fix — the previous suffix was a paraphrase).
+ENHANCE_SUFFIX = (
+    " Include technical details, severity, and specific mitigation steps"
+    " if available."
+)
+
+
+def enhance_query(q: Column, suffix: str = ENHANCE_SUFFIX) -> Column:
     return F.when(q.contains("CVE-"), F.concat(q, F.lit(suffix))).otherwise(q)

@@ -166,21 +166,25 @@ def q19_flexible_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_embed_text_template",
     """
     SELECT doc_id,
-           'Title: ' || source || chr(10) ||
-           'CVE ID: CVE-2024-' || CAST(doc_id AS VARCHAR) || chr(10) ||
-           'Description: ' || substring(text, 1, 100) AS embed_text
+           chr(10) || '            Title: ' || source ||
+           chr(10) || '            CVE ID: CVE-2024-' || CAST(doc_id AS VARCHAR) ||
+           chr(10) || '            Description: ' || substring(text, 1, 100) ||
+           chr(10) || '            ' AS embed_text
     FROM documents
     """,
-    "P3 — the reference's embedding-text template "
-    "(consumer/consumer.py:85-89) as a format_string projection over "
-    "the documents shape (title→source, id→synthetic CVE id, "
-    "description→text prefix).",
+    "P3 — the reference's embedding-text template, verbatim whitespace "
+    "included: the triple-quoted f-string at consumer/consumer.py:85-89 "
+    "emits a leading newline, 12-space indents and a trailing "
+    "newline+indent, and that exact string is the embedder input "
+    "(title→source, id→synthetic CVE id, description→text prefix).",
 )
 def p_embed_text_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.extract import EMBED_TEXT_TEMPLATE
+
     return table(spark, sf_dir, "documents").select(
         "doc_id",
         F.format_string(
-            "Title: %s\nCVE ID: CVE-2024-%s\nDescription: %s",
+            EMBED_TEXT_TEMPLATE.replace("CVE ID: %s", "CVE ID: CVE-2024-%s"),
             F.col("source"),
             F.col("doc_id").cast("string"),
             F.substring("text", 1, 100),
@@ -193,13 +197,13 @@ def p_embed_text_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            CASE WHEN q LIKE '%CVE-%'
-                THEN q || ' Provide detailed information about this CVE.'
+                THEN q || ' Include technical details, severity, and specific mitigation steps if available.'
                 ELSE q END AS enhanced
     FROM (SELECT doc_id, substring(text, 1, 80) AS q FROM documents)
     """,
     "P9 — conditional query rewrite (chatbot/main.py:105-109): append "
-    "the instruction suffix only when the text mentions a CVE id. "
-    "Pure when/contains/concat column logic.",
+    "the reference's exact instruction suffix only when the text "
+    "mentions a CVE id. Pure when/contains/concat column logic.",
 )
 def p_query_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(

@@ -84,9 +84,16 @@ def test_missing_paths_default_never_throw(parsed):
 
 
 def test_embedding_text_template(parsed):
-    """P3 — exact template shape (consumer/consumer.py:85-89)."""
+    """P3 — exact template INCLUDING the reference f-string's leading
+    newline, 12-space indents, and trailing newline+indent
+    (consumer/consumer.py:85-89)."""
     got = parsed.select(ex.embedding_text(F.col("cve")).alias("t")).first()["t"]
-    assert got == "Title: Sample overflow\nCVE ID: CVE-2024-0001\nDescription: A buffer overflow."
+    assert got == (
+        "\n            Title: Sample overflow"
+        "\n            CVE ID: CVE-2024-0001"
+        "\n            Description: A buffer overflow."
+        "\n            "
+    )
 
 
 def test_embed_metadata_shape(parsed):
@@ -137,5 +144,9 @@ def test_enhance_query_rewrite(spark):
     """P9 — conditional suffix (chatbot/main.py:105-109)."""
     df = spark.createDataFrame([("What is CVE-2024-1?",), ("hello",)], "q string")
     rows = df.select(ex.enhance_query(F.col("q")).alias("out")).collect()
-    assert rows[0]["out"].endswith("Provide detailed information about this CVE.")
+    # the reference's exact suffix, space-joined (chatbot/main.py:108)
+    assert rows[0]["out"] == (
+        "What is CVE-2024-1? Include technical details, severity, and "
+        "specific mitigation steps if available."
+    )
     assert rows[1]["out"] == "hello"

@@ -137,3 +137,59 @@ def test_base_confidence_matches_reference(spark):
     ).collect()
     for r in out:
         assert abs(r["got"] - r["want"]) < 1e-12, (r["got"], r["want"])
+
+
+def _extract_from(path: str, *names: str, extra_ns: dict | None = None):
+    src = open(os.path.join("/root/reference", path)).read()
+    tree = ast.parse(src)
+    ns: dict = dict(extra_ns or {})
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name in names:
+            exec(textwrap.dedent(ast.get_source_segment(src, node)), ns)
+    missing = [n for n in names if n not in ns]
+    assert not missing, f"reference methods not found: {missing}"
+    return ns
+
+
+def test_embedding_template_matches_reference(spark):
+    """P3: the template string (including the f-string's indentation
+    whitespace) equals consumer.py's ``_process_cve_for_embedding``."""
+    import json as _json
+
+    from ingestion_pipeline_spark.functions import extract as ex
+    from ingestion_pipeline_spark.schemas import CVE_CORE_SCHEMA
+
+    ns = _extract_from(
+        "consumer/consumer.py", "_process_cve_for_embedding", extra_ns={"Dict": dict}
+    )
+    ref = ns["_process_cve_for_embedding"]
+    cases = [
+        {
+            "cveMetadata": {"cveId": "CVE-2024-0001"},
+            "containers": {
+                "cna": {"title": "Heap overflow", "descriptions": [{"value": "Bad."}]}
+            },
+        },
+        {
+            "cveMetadata": {"cveId": "CVE-2024-0002"},
+            "containers": {"cna": {"title": "", "descriptions": [{"value": ""}]}},
+        },
+    ]
+    df = spark.createDataFrame([( _json.dumps(c),) for c in cases], "raw string")
+    parsed = df.select(F.from_json("raw", CVE_CORE_SCHEMA).alias("cve"))
+    got = [r["t"] for r in parsed.select(ex.embedding_text(F.col("cve")).alias("t")).collect()]
+    want = [ref(None, c)["text"] for c in cases]
+    assert got == want
+
+
+def test_enhance_query_matches_reference(spark):
+    """P9: the rewrite suffix equals chatbot/main.py's ``_enhance_query``."""
+    from ingestion_pipeline_spark.functions import extract as ex
+
+    ns = _extract_from("chatbot/main.py", "_enhance_query")
+    ref = ns["_enhance_query"]
+    queries = ["What is CVE-2024-1?", "hello", "CVE- prefix only", "no id here"]
+    df = spark.createDataFrame([(q,) for q in queries], "q string")
+    got = [r["out"] for r in df.select(ex.enhance_query(F.col("q")).alias("out")).collect()]
+    want = [ref(None, q) for q in queries]
+    assert got == want

@@ -83,7 +83,10 @@ def test_dual_sink_drain(spark, stream_dirs):
     }
     vrow = vec.filter("cve_id = 'CVE-2024-1001'").first()
     assert vrow["severity"] == "HIGH"
-    assert vrow["text"].startswith("Title: Bug 1\nCVE ID: CVE-2024-1001")
+    # the reference's verbatim template: leading newline + 12-space indents
+    assert vrow["text"].startswith(
+        "\n            Title: Bug 1\n            CVE ID: CVE-2024-1001"
+    )
     assert len(vrow["embedding"]) == 16
 
     quar = spark.read.parquet(stream_dirs["quarantine"])
