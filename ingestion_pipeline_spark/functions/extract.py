@@ -126,18 +126,26 @@ def embed_metadata(df: DataFrame, cve: Column) -> DataFrame:
 # --- NVD-shape projections (llama-chatbot/main.py:107-123,148) ----------
 
 def nvd_cwe(nvd: Column) -> Column:
-    """P6 — weaknesses[0].description[0].value, 'Unknown' default
-    (llama-chatbot/main.py:107-111)."""
+    """P6 — weaknesses[0].description[0].value, '' default: the
+    enrichment path this models (llama-chatbot/main.py:107-110,
+    ``get_mitigation_strategies``) defaults every missing field to ''
+    — the 'Unknown' strings live only in the Streamlit DISPLAY
+    formatter (main.py:314-317), not in the dataflow (round-4
+    fidelity fix)."""
     w = first_elem(nvd.getField("cve").getField("weaknesses"))
-    return F.coalesce(first_elem(w.getField("description")).getField("value"), F.lit("Unknown"))
+    return F.coalesce(first_elem(w.getField("description")).getField("value"), F.lit(""))
 
 
 def nvd_cvss(nvd: Column) -> tuple[Column, Column, Column]:
-    """P7 — metrics.cvssMetricV31[0].cvssData.* (llama-chatbot/main.py:113-123)."""
+    """P7 — metrics.cvssMetricV31[0].cvssData.* with the enrichment
+    path's '' defaults (llama-chatbot/main.py:113-123; see nvd_cwe on
+    why not 'Unknown'). baseScore defaults 0.0 — the reference's
+    enrichment path never defaults it (the display path's 'Unknown'
+    is a UI string a typed double column cannot hold)."""
     data = first_elem(nvd.getField("cve").getField("metrics").getField("cvssMetricV31")).getField("cvssData")
     return (
-        nz_str(data.getField("attackVector"), "Unknown"),
-        nz_str(data.getField("baseSeverity"), "Unknown"),
+        nz_str(data.getField("attackVector"), ""),
+        nz_str(data.getField("baseSeverity"), ""),
         nz_num(data.getField("baseScore")),
     )
 

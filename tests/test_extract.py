@@ -106,8 +106,8 @@ def test_embed_metadata_shape(parsed):
 
 
 def test_nvd_extraction_defaults(spark):
-    """P6/P7 — NVD shape with 'Unknown' defaults
-    (llama-chatbot/main.py:107-123)."""
+    """P6/P7 — NVD shape with the enrichment path's '' defaults
+    (llama-chatbot/main.py:107-123; 'Unknown' is display-only)."""
     full = {
         "cve": {
             "id": "CVE-2024-9999",
@@ -134,8 +134,8 @@ def test_nvd_extraction_defaults(spark):
     assert rows[0]["cwe"] == "CWE-79"
     assert rows[0]["av"] == "NETWORK"
     assert rows[0]["urls"] == ["https://example.com/a", "https://example.com/b"]
-    assert rows[1]["cwe"] == "Unknown"
-    assert rows[1]["av"] == "Unknown"
+    assert rows[1]["cwe"] == ""
+    assert rows[1]["av"] == ""
     assert rows[1]["score"] == 0.0
     assert rows[1]["urls"] == []
 

@@ -70,7 +70,7 @@ def test_nvd_fetch_and_parse(spark):
     assert parsed["CVE-2024-1"]["score"] == 5.5
     assert parsed["CVE-2024-1"]["has_remote"]
     assert not parsed["CVE-2024-2"]["has_remote"]       # fetch error isolated
-    assert parsed["CVE-2024-3"]["cwe"] == "Unknown"     # default-on-missing
+    assert parsed["CVE-2024-3"]["cwe"] == ""            # default-on-missing (main.py:107-110)
 
 
 def test_zip_roundtrip_and_json_dir(spark, tmp_path):
