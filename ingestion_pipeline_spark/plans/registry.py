@@ -122,8 +122,8 @@ GRADED_WINDOW = [
     "d_contamination_5gram", "d_semantic_dedup", "tx_redact_pii",
     "tx_gopher_quality_flags",
     # text analysis / tokenizer
-    "tx_quality_scores", "tx_token_counts", "tx_fingerprints",
-    "tx_sentence_explode", "tx_topk_bigrams", "tx_repetition_ratio",
+    "tx_quality_scores", "tx_fingerprints",
+    "tx_topk_bigrams", "tx_repetition_ratio",
     "tx_unigram_surprisal", "tx_vocab_build", "tx_bpe_merges",
     # dedup / sampling / graph
     "d_keep_one_per_cluster", "d_stratified_sample", "d_bloom_novel_docs",
@@ -135,8 +135,13 @@ GRADED_WINDOW = [
     "e_multiset_priorities",
     # vectors / RAG composition
     "v_quantize_int8", "rag_answer_end_to_end", "x_udtf_cve_refs",
-    # V9/V10 re-certification after the round-4 fidelity fixes
+    # re-certification of every query whose semantics changed in the
+    # round-4 fidelity fixes: V9/V10 scoring, the P3 verbatim-whitespace
+    # embedding template, the P9 verbatim rewrite suffix
+    # (tx_token_counts/tx_sentence_explode deferred to r5 to make room;
+    # first-time count stays ≥45)
     "e_rag_verdicts", "s_confidence_scores",
+    "p_embed_text_template", "p_query_rewrite",
 ]
 
 
