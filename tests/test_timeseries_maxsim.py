@@ -107,3 +107,36 @@ def test_streaming_ewma_equals_batch(spark, tmp_path):
         for r in ewma_per_entity(batch, "user_id", ["ts_us", "event_id"], "value", 0.5).collect()
     }
     assert got == want and len(got) == len(rows)
+
+
+def test_holt_matches_python_reference(spark):
+    """Holt level/trend/forecast equals the sequential definition on a
+    spread of shapes (constant, trending, alternating, single-row)."""
+    from ingestion_pipeline_spark.operators.timeseries import holt_per_entity
+
+    series = {
+        1: [5.0, 5.0, 5.0, 5.0],
+        2: [1.0, 2.0, 3.0, 4.0, 5.0],
+        3: [10.0, -10.0, 10.0, -10.0],
+        4: [42.0],
+    }
+    rows = [
+        (uid, i, 1000 + i, v)
+        for uid, xs in series.items()
+        for i, v in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_us long, value double")
+    got = {
+        (r["user_id"], r["event_id"]): (r["level"], r["trend"], r["forecast"])
+        for r in holt_per_entity(df, "user_id", ["ts_us", "event_id"], "value").collect()
+    }
+    for uid, xs in series.items():
+        level = trend = None
+        for i, x in enumerate(xs):
+            if level is None:
+                level, trend = x, 0.0
+            else:
+                prev = level
+                level = 0.5 * x + 0.5 * (prev + trend)
+                trend = 0.5 * (level - prev) + 0.5 * trend
+            assert got[(uid, i)] == (level, trend, level + trend), (uid, i)
