@@ -92,56 +92,58 @@ def register(name: str, sql: Optional[str], doc: str):
 # the genuinely non-SQL-expressible entries (approximate ANN / sketch
 # ops, graded rows-only) last.
 GRADED_WINDOW = [
-    # Round-4 rotation (verdict r3 directives #1/#7/#8): 47 entries the
-    # driver has NEVER graded (r1-r3 covered 94 unique queries; 78
-    # oracle-backed ones remained ungraded), plus the one historical red
-    # (``w_running_user_value`` — its round-1 TIMESTAMP_NTZ error was
-    # fixed in round 1, this regrades it), plus the two queries whose
-    # semantics changed this round (``e_rag_verdicts``,
-    # ``s_confidence_scores`` — the V9/V10 reference-fidelity fixes must
-    # be re-certified under the driver's hash, not just locally).  Every
-    # rotated-out query stays locally gated by check_correctness.py at
-    # sf0.001/0.01/0.1.  All 50 entries carry oracles by construction;
-    # the retired rows-only ghosts (d_minhash_lsh_candidates,
-    # d_simhash_fingerprints, v_ivf_topk) can never re-enter.
+    # Round-5 rotation — THE FINAL WINDOW (verdict r4 directives #1/#4).
+    # The 37 oracle-backed queries the driver has never graded (verified
+    # against CORRECTNESS_r01-r04: rounds 1-4 covered 139 unique
+    # queries; these 37 are the full remainder of the 176 oracle-backed
+    # entries), plus 13 deliberate regrades: the four round-4
+    # fidelity-fix queries (stability proof one round after their
+    # semantic change) and nine of the oldest r1-only-graded queries
+    # whose tranche files have been edited 10-14 times since (picked for
+    # drift risk: float arithmetic, grouping sets, percentiles,
+    # windows).  After this round every oracle-backed registry query has
+    # been driver-graded at least once; only the five documented
+    # rows-only entries (approximate ANN / sketches) and the three
+    # retired ghosts remain outside the contract metric.
     #
-    # TPC-H tranche — the 13 never-graded shapes (correlated/quantified
-    # subqueries, mark-join patterns, left-anti EXISTS chains)
-    "q2_cheapest_part_per_type", "q7_nation_trade", "q8_market_share",
-    "q11_top_brand_value", "q12_priority_by_returnflag",
-    "q13_order_count_distribution", "q15_top_supplier",
-    "q16_supplier_count_by_part", "q17_small_quantity_revenue",
-    "q19_flexible_or", "q20_heavy_suppliers",
-    "q21_sole_blocking_supplier", "q22_rich_quiet_customers",
-    # window/time family
-    "w_rank_family", "w_cohort_retention", "w_funnel_conversion",
-    "w_sliding_window_counts", "w_running_user_value",
-    "w_click_purchase_attribution", "w_scd2_user_state",
-    # curation tranche
-    "pipeline_pack_sequences", "pipeline_token_budget_select",
-    "d_contamination_5gram", "d_semantic_dedup", "tx_redact_pii",
-    "tx_gopher_quality_flags",
-    # text analysis / tokenizer
-    "tx_quality_scores", "tx_fingerprints",
-    "tx_topk_bigrams", "tx_repetition_ratio",
-    "tx_unigram_surprisal", "tx_vocab_build", "tx_bpe_merges",
-    # dedup / sampling / graph
-    "d_keep_one_per_cluster", "d_stratified_sample", "d_bloom_novel_docs",
-    "g_triangle_counts",
-    # skew mitigation (oracle = the unsalted query; result-identity)
-    "j_salted_brand_revenue", "g_salted_collect_docs",
-    # relational long tail
-    "g_pivot_returnflag", "j_price_band_join", "p_map_entries",
-    "e_multiset_priorities",
-    # vectors / RAG composition
-    "v_quantize_int8", "rag_answer_end_to_end", "x_udtf_cve_refs",
-    # re-certification of every query whose semantics changed in the
-    # round-4 fidelity fixes: V9/V10 scoring, the P3 verbatim-whitespace
-    # embedding template, the P9 verbatim rewrite suffix
-    # (tx_token_counts/tx_sentence_explode deferred to r5 to make room;
-    # first-time count stays ≥45)
+    # NOTE ``d_difficulty_buckets`` enters with ROUND-5 SEMANTICS: the
+    # global-sort ntile form was replaced by broadcast threshold
+    # bucketing (ties share a bucket) per verdict directive #2 — its
+    # oracle changed with it, so this grading certifies the new
+    # operator, not the retired one.
+    #
+    # Text analysis / tokenizer tranche
+    "tx_token_counts", "tx_sentence_explode", "tx_strip_markup",
+    "tx_c4_sentence_filter", "tx_bpe_tokenize_fold",
+    "tx_textrank_keywords",
+    # Dedup / sampling / curation
+    "d_incremental_novel_docs", "d_dataset_split", "d_domain_mixture",
+    "d_weighted_sample", "d_difficulty_buckets", "d_duplicate_spans",
+    "d_span_dup_pairs", "d_split_leakage_check",
+    "d_personalized_pagerank",
+    # Vectors / similarity
+    "v_label_centroids", "v_negative_samples", "v_chunk_sum_pool",
+    "v_lsh_recall_at_k", "v_maxsim_late_interaction",
+    # Window / time-series
+    "w_trailing_hour_value", "w_event_transitions", "w_ewma_user_value",
+    "w_holt_trend_forecast",
+    # Relational / stats long tail
+    "g_yoy_customer_growth", "g_unpivot_pricing",
+    "g_histogram_totalprice", "t_global_dense_ids",
+    "s_winsorized_quality", "s_target_encoding",
+    # Data quality / multimodal / variant
+    "dq_numeric_profile", "dq_psi_drift", "dq_median_impute",
+    "mm_ahash_dup_groups", "p_variant_extraction",
+    # Composed pipelines
+    "pipeline_clean_corpus", "pipeline_pretrain_corpus",
+    # --- regrades (13) ---
+    # round-4 fidelity fixes, one-round stability certification
     "e_rag_verdicts", "s_confidence_scores",
     "p_embed_text_template", "p_query_rewrite",
+    # oldest r1-only gradings in since-touched tranche files
+    "q6_revenue_delta", "q10_returned_revenue", "q14_promo_share",
+    "g_rollup_orders", "g_cube_orders", "t_price_percentiles",
+    "w_value_delta", "w_moving_avg_value", "e_sources_except",
 ]
 
 

@@ -65,6 +65,56 @@ EXCHANGE_BUDGETS = {
 }
 
 
+def test_unpartitioned_window_detector(spark):
+    """The audit_plans.py global-window detector (round 5, verdict r4
+    directive #3) must flag the retired ntile-over-corpus shape of
+    d_difficulty_buckets if it is ever reintroduced, while staying
+    silent on partitioned windows, partition-only (no order) windows,
+    and partitioned WindowGroupLimit plans — the three text-format
+    ambiguities the parser disambiguates."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from audit_plans import unpartitioned_windows
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("g", F.col("id") % 3)
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    # the retired anti-pattern: global ntile, no partitionBy
+    ntile = df.withColumn("b", F.ntile(10).over(Window.orderBy("id")))
+    assert unpartitioned_windows(plan(ntile)) == 1
+
+    # partitioned window: clean
+    part = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert unpartitioned_windows(plan(part)) == 0
+
+    # partition-only window (no orderBy): prints two groups like the
+    # unpartitioned form, but the last group is not an ORDER spec
+    part_only = df.withColumn(
+        "s", F.sum("id").over(Window.partitionBy("g"))
+    )
+    assert unpartitioned_windows(plan(part_only)) == 0
+
+    # partitioned rank+filter plans a WindowGroupLimit whose partition
+    # group is printed inline — must not be mistaken for empty
+    grplim = part.filter("r <= 2")
+    assert unpartitioned_windows(plan(grplim)) == 0
+
+    # unpartitioned rank+filter: both the Window and its GroupLimit fire
+    glim_global = (
+        df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+        .filter("r <= 2")
+    )
+    assert unpartitioned_windows(plan(glim_global)) >= 1
+
+
 @pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGETS))
 def test_exchange_budget(spark, sf_dir, name):
     df = query_map()[name](spark, sf_dir)

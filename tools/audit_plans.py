@@ -10,6 +10,14 @@ Checks per query:
   should prune);
 - single-shuffle sanity: counts Exchange nodes so a regression that
   doubles shuffles is visible in review diffs.
+- unpartitioned Window nodes (round-5, verdict r4 directive #3): a
+  ``Window``/``WindowInPandas`` with an empty partition spec moves its
+  whole input to ONE task — Spark itself warns ``WindowExec: No
+  Partition Defined``.  Fine over provably bounded frames (top-k
+  results, distinct-value histograms, |groups|-row tables), a
+  scale-killer over the corpus (the retired ntile form of
+  d_difficulty_buckets).  Every allowlisted query documents WHY its
+  frame is bounded; anything else is flagged.
 
 Exit 1 on any unexpected flag — wired for CI use.
 """
@@ -50,11 +58,95 @@ NLJ_ALLOWED = {
     "t_tfidf_topk",        # 1-row corpus-stats (N, df) broadcast — BM25 shape
     "v_sign_hamming_topk",  # 1-row probe code broadcast onto the code scan
     "v_matryoshka_prefix_topk",  # 1-row probe vector broadcast
+    "d_difficulty_buckets",  # 1-row corpus-count stats frame broadcast
+                             # onto the |distinct n_chars| histogram (r5
+                             # threshold-bucketing rewrite)
     "entry",
 }
 
 # Wide tables where reading every column indicates missing pruning.
 WIDE = {"lineitem": 10, "orders": 6, "events": 6}
+
+# Queries whose UNPARTITIONED window runs over a provably bounded frame
+# (the input row count is capped by construction, independent of data
+# scale), so the single-task sort is O(bound), not O(corpus).  Anything
+# not listed here that plans an empty-partition-spec Window is flagged.
+# (This is the exact trigger set at round 5 — every other registry
+# query plans zero unpartitioned windows; re-running the scan after a
+# new tranche keeps the set honest.)
+GLOBAL_WINDOW_ALLOWED = {
+    "tx_vocab_build":        "dense-id window AFTER the top-500 LIMIT "
+                             "(registry_ext25.py:61-64)",
+    "d_difficulty_buckets":  "cumsum over the distinct-n_chars histogram "
+                             "(bounded value domain, groupBy output), "
+                             "never the corpus (registry_ext25.py r5 "
+                             "threshold-bucketing rewrite)",
+    "t_global_dense_ids":    "prefix-sum over the |sources|-row offset "
+                             "table; the corpus window is partitioned "
+                             "by source (registry_ext32.py:33-49)",
+    "pipeline_shard_manifest": "inherits t_global_dense_ids' offsets "
+                             "window (same _dense_ids helper)",
+    "t_bm25_keyword_topk":   "rank over the TakeOrdered top-k candidate "
+                             "set (search.py:153)",
+    "t_tfidf_topk":          "rank over the top-k candidate set "
+                             "(registry_ext21.py:151)",
+    "v_hybrid_rrf_fusion":   "two rank windows over two top-k result "
+                             "lists feeding RRF",
+    "v_sign_hamming_topk":   "rank over the k-row topk() output "
+                             "(registry_ext49.py:296-303)",
+}
+
+
+def _groups(s: str) -> list[str]:
+    """Top-level ``[...]`` group bodies of a plan line, in order."""
+    depth = 0
+    out: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                out.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return out
+
+
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes with an EMPTY partition spec.
+
+    Physical-plan text (format verified on pyspark 4.1, see ROUND5.md):
+    - ``Window [exprs], [part], [order]`` — partitioned;
+      ``Window [exprs], [order]`` when the partition spec is empty.  A
+      partition-only window (no orderBy) also prints two groups, so the
+      2-group form is flagged only when its last group is an ORDER spec
+      (carries ``ASC``/``DESC`` direction tokens, which plan text always
+      prints; bare partition columns never do).
+    - ``WindowGroupLimit [part], [order], fn, limit, mode`` — here the
+      partition group is always printed, so empty = literal ``[]``.
+    ``WindowInPandas`` follows the Window shape.
+    """
+    n = 0
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-*()0123456789")
+        if stripped.startswith("WindowGroupLimit ["):
+            if stripped.startswith("WindowGroupLimit [],"):
+                n += 1
+        elif stripped.startswith(("Window [", "WindowInPandas [")):
+            gs = _groups(stripped)
+            if len(gs) == 2 and (" ASC" in gs[-1] or " DESC" in gs[-1]):
+                n += 1
+            elif len(gs) == 3 and not gs[1].strip():
+                n += 1
+    return n
 
 
 def main() -> int:
@@ -76,6 +168,10 @@ def main() -> int:
         flags: list[str] = []
         if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and name not in NLJ_ALLOWED:
             flags.append("unexpected cross/NLJ join")
+        n_gwin = unpartitioned_windows(plan)
+        if n_gwin and name not in GLOBAL_WINDOW_ALLOWED:
+            flags.append(f"unpartitioned Window x{n_gwin} (single-task sort"
+                         " of its whole input; allowlist only bounded frames)")
         for line in plan.splitlines():
             if "FileScan parquet" not in line:
                 continue
