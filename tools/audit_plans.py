@@ -61,6 +61,9 @@ NLJ_ALLOWED = {
     "d_difficulty_buckets",  # 1-row corpus-count stats frame broadcast
                              # onto the |distinct n_chars| histogram (r5
                              # threshold-bucketing rewrite)
+    "tx_bigram_perplexity",  # 1-row vocab-size broadcast (surprisal shape)
+    "e_threshold_sweep",     # 1-row (min,max) bounds + 10-row threshold
+                             # grid broadcast onto the scan
     "entry",
 }
 

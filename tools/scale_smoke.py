@@ -77,6 +77,12 @@ DEFAULT_QUERIES = [
     "w_holt_trend_forecast",
     "v_maxsim_late_interaction",
     "pipeline_pretrain_corpus",
+    # round-5 additions: cross-doc boilerplate removal, bigram-LM
+    # perplexity, threshold calibration
+    "tx_boilerplate_prune",
+    "tx_bigram_perplexity",
+    "e_threshold_sweep",
+    "pipeline_epoch_shuffle",
 ]
 
 
