@@ -64,6 +64,8 @@ NLJ_ALLOWED = {
     "tx_bigram_perplexity",  # 1-row vocab-size broadcast (surprisal shape)
     "e_threshold_sweep",     # 1-row (min,max) bounds + 10-row threshold
                              # grid broadcast onto the scan
+    "v_standardize_dims",    # 1-row per-dim mean/std arrays broadcast
+                             # onto the embeddings scan
     "entry",
 }
 

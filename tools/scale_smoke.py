@@ -83,6 +83,12 @@ DEFAULT_QUERIES = [
     "tx_bigram_perplexity",
     "e_threshold_sweep",
     "pipeline_epoch_shuffle",
+    # ext57: example construction + diagnostics (FIM reorder,
+    # preference-pair mining, per-source diversity, dim whitening)
+    "x_fim_transform",
+    "s_preference_pairs",
+    "g_ngram_diversity",
+    "v_standardize_dims",
 ]
 
 
