@@ -56,3 +56,4 @@ from . import registry_ext54  # noqa: F401  — per-entity EWMA (recursive-CTE o
 from . import registry_ext55  # noqa: F401  — pretrain-corpus capstone: dedup -> gate -> pack in one plan
 from . import registry_ext56  # noqa: F401  — boilerplate prune, bigram perplexity, threshold sweep
 from . import registry_ext57  # noqa: F401  — FIM transform, preference pairs, ngram diversity, dim whitening
+from . import registry_ext58  # noqa: F401  — OOV rate, langid confusion, temperature mixture, ctx-length sweep

@@ -66,6 +66,10 @@ NLJ_ALLOWED = {
                              # grid broadcast onto the scan
     "v_standardize_dims",    # 1-row per-dim mean/std arrays broadcast
                              # onto the embeddings scan
+    "d_temperature_mixture",  # 1-row (N, Z) stats broadcast onto the
+                              # |sources|-row counts frame
+    "pipeline_context_length_sweep",  # 4-row candidate-length grid
+                                      # broadcast fan-out onto the scan
     "entry",
 }
 

@@ -89,6 +89,11 @@ DEFAULT_QUERIES = [
     "s_preference_pairs",
     "g_ngram_diversity",
     "v_standardize_dims",
+    # ext58: mixture/tokenizer decision tables
+    "tx_oov_rate",
+    "dq_langid_confusion",
+    "d_temperature_mixture",
+    "pipeline_context_length_sweep",
 ]
 
 
