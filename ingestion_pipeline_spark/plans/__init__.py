@@ -57,3 +57,4 @@ from . import registry_ext55  # noqa: F401  — pretrain-corpus capstone: dedup 
 from . import registry_ext56  # noqa: F401  — boilerplate prune, bigram perplexity, threshold sweep
 from . import registry_ext57  # noqa: F401  — FIM transform, preference pairs, ngram diversity, dim whitening
 from . import registry_ext58  # noqa: F401  — OOV rate, langid confusion, temperature mixture, ctx-length sweep
+from . import registry_ext59  # noqa: F401  — label outliers, PMI bigrams, watermark lateness profile

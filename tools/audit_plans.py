@@ -68,6 +68,9 @@ NLJ_ALLOWED = {
                              # onto the embeddings scan
     "d_temperature_mixture",  # 1-row (N, Z) stats broadcast onto the
                               # |sources|-row counts frame
+    "dq_label_outliers",      # |labels|-row centroid matrix broadcast
+                              # fan-out onto the embeddings scan
+    "g_cooccurrence_pmi",     # 1-row (NU, NB) totals broadcast
     "pipeline_context_length_sweep",  # 4-row candidate-length grid
                                       # broadcast fan-out onto the scan
     "entry",

@@ -94,6 +94,10 @@ DEFAULT_QUERIES = [
     "dq_langid_confusion",
     "d_temperature_mixture",
     "pipeline_context_length_sweep",
+    # ext59: dataset-QA diagnostics
+    "dq_label_outliers",
+    "g_cooccurrence_pmi",
+    "w_watermark_lateness_profile",
 ]
 
 
