@@ -71,6 +71,10 @@ NLJ_ALLOWED = {
     "dq_label_outliers",      # |labels|-row centroid matrix broadcast
                               # fan-out onto the embeddings scan
     "g_cooccurrence_pmi",     # 1-row (NU, NB) totals broadcast
+    "v_pca_power_iteration",  # 1-row direction vector broadcast per
+                              # power-iteration round (x3)
+    "e_retrieval_mrr",        # bounded probe sample broadcast x corpus
+                              # on the exact side (the recall@k shape)
     "pipeline_context_length_sweep",  # 4-row candidate-length grid
                                       # broadcast fan-out onto the scan
     "entry",

@@ -98,6 +98,10 @@ DEFAULT_QUERIES = [
     "dq_label_outliers",
     "g_cooccurrence_pmi",
     "w_watermark_lateness_profile",
+    # ext60: PCA, interval overlap, retrieval MRR
+    "v_pca_power_iteration",
+    "j_interval_overlap_join",
+    "e_retrieval_mrr",
 ]
 
 
