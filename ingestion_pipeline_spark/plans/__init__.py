@@ -59,3 +59,4 @@ from . import registry_ext57  # noqa: F401  — FIM transform, preference pairs,
 from . import registry_ext58  # noqa: F401  — OOV rate, langid confusion, temperature mixture, ctx-length sweep
 from . import registry_ext59  # noqa: F401  — label outliers, PMI bigrams, watermark lateness profile
 from . import registry_ext60  # noqa: F401  — PCA power iteration, interval overlap join, retrieval MRR
+from . import registry_ext61  # noqa: F401  — kappa agreement, IVF cell balance, curriculum order, AL margin

@@ -386,20 +386,28 @@ def e_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.lsh_topk_join(emb, probes, dim=64, k=_MRR_K + 1)
         .filter(F.col("vec_id") != F.col("probe_id"))
     )
+    # rename BOTH join keys before the join: exact1 and lshr share
+    # lineage through `emb`, and same-named columns from a common
+    # ancestor can resolve to one attribute (Spark then warns
+    # "trivially true equals predicate" and the equi-condition is lost)
     lshr = topk_per_group(
         lsh,
         ["probe_id"],
         [F.col("sim").desc(), F.col("vec_id").asc()],
         _MRR_K,
         rank_alias="lsh_rank",
-    ).select("probe_id", "vec_id", "lsh_rank")
+    ).select(
+        F.col("probe_id").alias("l_probe_id"),
+        F.col("vec_id").alias("l_vec_id"),
+        "lsh_rank",
+    )
     return exact1.join(
         lshr,
-        (exact1.probe_id == lshr.probe_id)
-        & (exact1.true_top1 == lshr.vec_id),
+        (F.col("probe_id") == F.col("l_probe_id"))
+        & (F.col("true_top1") == F.col("l_vec_id")),
         "left",
     ).select(
-        exact1.probe_id,
+        "probe_id",
         "true_top1",
         F.coalesce(F.col("lsh_rank").cast("long"), F.lit(0).cast("long")).alias(
             "lsh_rank"

@@ -75,6 +75,13 @@ NLJ_ALLOWED = {
                               # power-iteration round (x3)
     "e_retrieval_mrr",        # bounded probe sample broadcast x corpus
                               # on the exact side (the recall@k shape)
+    "e_annotator_agreement",  # three 1-row stat frames (n, diag, s)
+                              # crossed into the single output row
+    "v_ivf_cell_balance",     # 1-row (total, max) stats broadcast onto
+                              # the |cells|-row report
+    "pipeline_curriculum_order",  # 1-row corpus-count stats frame (the
+                                  # d_difficulty_buckets shape)
+    "s_active_learning_margin",   # 1-row (min+max)/2 threshold broadcast
     "pipeline_context_length_sweep",  # 4-row candidate-length grid
                                       # broadcast fan-out onto the scan
     "entry",
@@ -97,6 +104,9 @@ GLOBAL_WINDOW_ALLOWED = {
                              "(bounded value domain, groupBy output), "
                              "never the corpus (registry_ext25.py r5 "
                              "threshold-bucketing rewrite)",
+    "pipeline_curriculum_order": "inherits d_difficulty_buckets' "
+                             "histogram cumsum; the corpus window is "
+                             "partitioned by bucket (registry_ext61.py)",
     "t_global_dense_ids":    "prefix-sum over the |sources|-row offset "
                              "table; the corpus window is partitioned "
                              "by source (registry_ext32.py:33-49)",
