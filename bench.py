@@ -85,6 +85,23 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+        finally:
+            # Release every persistent RDD between queries. The
+            # iterative operators (PageRank/LPA/CC/k-means) pin
+            # localCheckpoint blocks that nothing unpins once the
+            # query's results are materialized; over a 200-query
+            # best-of-5 session they accumulate (~6 blocksets per
+            # invocation, measured) and the memory pressure showed up
+            # as 3x late-session spikes on unrelated multi-stage
+            # queries (tx_textrank_keywords 2.9 -> 9.5 s in the r5
+            # 203-query run). Safe here: each timed run rebuilds its
+            # checkpoints from scratch.
+            try:
+                it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+                while it.hasNext():
+                    it.next().unpersist(False)
+            except Exception:  # noqa: BLE001 — hygiene must never fail a bench
+                pass
 
     total = round(sum(times.values()), 3)
     detail = {

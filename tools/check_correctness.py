@@ -111,6 +111,16 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
             continue
+        finally:
+            # release localCheckpoint blocks the iterative operators
+            # pin (bench.py documents the measured leak); results are
+            # already materialized above, so nothing needs the blocks
+            try:
+                it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+                while it.hasNext():
+                    it.next().unpersist(False)
+            except Exception:  # noqa: BLE001
+                pass
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
