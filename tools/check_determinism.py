@@ -136,6 +136,14 @@ def main() -> int:
             continue
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
+            # release localCheckpoint blocks between queries (the
+            # long-session leak bench.py documents)
+            try:
+                it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+                while it.hasNext():
+                    it.next().unpersist(False)
+            except Exception:  # noqa: BLE001
+                pass
         if a != b:
             diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL {name}: partition-dependent result, e.g. {diffs}")
