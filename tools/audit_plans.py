@@ -68,8 +68,6 @@ NLJ_ALLOWED = {
                              # onto the embeddings scan
     "d_temperature_mixture",  # 1-row (N, Z) stats broadcast onto the
                               # |sources|-row counts frame
-    "dq_label_outliers",      # |labels|-row centroid matrix broadcast
-                              # fan-out onto the embeddings scan
     "g_cooccurrence_pmi",     # 1-row (NU, NB) totals broadcast
     "v_pca_power_iteration",  # 1-row direction vector broadcast per
                               # power-iteration round (x3)
