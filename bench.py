@@ -74,9 +74,14 @@ def main() -> None:
                     break
             runs.sort()
             times[name] = round(runs[0], 3)
+            # True median (average the two middle values for even n):
+            # runs[n//2] on the common n=2 cohort is the MAX, which
+            # overstated variance in the r5 detail.
+            mid = len(runs) // 2
+            med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
             spread[name] = [
                 round(runs[0], 3),
-                round(runs[len(runs) // 2], 3),
+                round(med, 3),
                 round(runs[-1], 3),
                 len(runs),
             ]

@@ -167,6 +167,50 @@ def assign_nearest_np(centroids: list[list[float]]):
     return nearest
 
 
+def assign_nearest_quantized(
+    centroids_q, scale: float = 100000.0, pre_quantized: bool = False
+):
+    """Exact-integer IVF cluster assignment (the ``dq_label_outliers``
+    quantization discipline applied to argmax-dot).
+
+    ``centroids_q`` is an (n_centroids × dim) integer-valued matrix —
+    each component already ``floor(x * scale)``.  Incoming vectors are
+    quantized the same way per batch, so every dot product is a sum of
+    integer products; with |q| ≤ scale and dim ≤ 64 every partial sum
+    stays far below 2^53, making the float64 matmul EXACT regardless of
+    BLAS accumulation order / FMA.  The score ``dot / sqrt(Σc²)``
+    (cosine up to the constant vector-norm factor) is then one IEEE
+    division by one correctly-rounded sqrt of an exact integer —
+    bit-identical on any engine that derives the same integers, so a
+    DuckDB ``ORDER BY dot/sqrt(s) DESC, cid`` fold reproduces the argmax
+    deterministically.  Ties → lowest centroid id (np.argmax first-max
+    == ``ORDER BY score DESC, cid``).
+
+    ``pre_quantized=True``: the incoming column already holds integer
+    arrays (e.g. ``kmeans.quantized``'s ``v``) — skip the
+    floor-quantization step."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    cent = np.asarray(centroids_q, dtype=np.float64)  # (n, dim), int-valued
+    inv_norm_scores = np.sqrt((cent * cent).sum(axis=1))  # exact ints → sqrt
+
+    @pandas_udf(IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        if not pre_quantized:
+            mat = np.floor(mat * scale)
+        dots = mat @ cent.T  # exact integer values in float64
+        scores = dots / inv_norm_scores[None, :]  # single IEEE div each
+        return pd.Series(np.argmax(scores, axis=1).astype("int32"))
+
+    return nearest
+
+
 def signature_bits(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-random-projection signature as an array<int> of 0/1 bits —
     pure column math (one dot product per plane). The input vector is

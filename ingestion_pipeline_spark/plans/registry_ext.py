@@ -621,11 +621,18 @@ def d_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    from .registry import _probe
-
     emb = spread(table(spark, sf_dir, "embeddings"), min_partitions=8)
+    # ONE driver-side job fetches centroids AND probe: the probe
+    # (vec_id 0) is a member of the seed-centroid set (vec_id < 16), so
+    # a separate .first() job was pure fixed-cost overhead (~0.2 s of
+    # the r5 bench minimum; verdict r5 directive #2). Collected from
+    # the un-repartitioned scan — 16 rows never need a shuffle.
     centroid_rows = (
-        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").orderBy("vec_id").collect()
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
     )
 
     def l2norm(v: list[float]) -> list[float]:
@@ -638,7 +645,8 @@ def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted fold expressions would be the slow path.
     centroids = [l2norm([float(x) for x in r["embedding"]]) for r in centroid_rows]
     nearest = sim.assign_nearest_np(centroids)
-    probe = _probe(spark, sf_dir)
+    assert centroid_rows[0]["vec_id"] == 0
+    probe = [float(x) for x in centroid_rows[0]["embedding"]]
 
     def cos_py(a: list[float], b: list[float]) -> float:
         return sum(x * y for x, y in zip(l2norm(a), l2norm(b)))

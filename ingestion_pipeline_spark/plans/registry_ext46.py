@@ -21,75 +21,79 @@ makes a cluster-resident index possible.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as sim
-from ..operators.pq import pq_topk, train_pq_codebooks
 from ..operators.relational import spread
 from ..sources.parquet_tables import table
+from .pq_sql import ivfadc_sql
 from .registry import register
 
 
 @register(
     "v_ivfadc_topk",
-    None,  # k-means codebook training is an iterative float fixpoint —
-    # rows-only; component math pinned in test_pq.py / oracle-gated in
-    # v_ivf_topk; composition recall asserted in test_pq.py
+    ivfadc_sql(m=8, k=16, iters=2, dim=64, train_n=256, n_cells=16,
+               nprobe=4, candidates=32, topk=8, probe_id=0),
     "IVF-PQ composed ANN (FAISS IVFADC shape): coarse-quantize to 16 "
     "deterministic cells, keep the probe's nprobe=4 nearest cells, "
     "ADC-scan only those members' 8-byte PQ codes against the "
     "broadcast lookup table, exact-rerank the top-32 — composition of "
-    "three independently-verified stages. Candidate volume scales as "
-    "nprobe/16 of the corpus and the scan reads codes, not floats.",
+    "three independently-verified stages. Round 6: every stage is "
+    "exact int64 (quantized coords at KM_SCALE; IVF score = int dot / "
+    "sqrt of the centroid's exact int norm² — the v_ivf_cell_balance "
+    "discipline; integer-Lloyd PQ codebooks; integer ADC) so the "
+    "composition is VALUE-HASH gated against plans/pq_sql.ivfadc_sql "
+    "(previously rows-only). Candidate volume scales as nprobe/16 of "
+    "the corpus and the scan reads codes, not floats.",
 )
 def v_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.kmeans import quantized
+    from ..operators.pq import adc_score_int, train_pq_codebooks_int
+    from ..operators.similarity import brute_force_topk
     from .registry import _probe
 
     emb = spread(table(spark, sf_dir, "embeddings"), min_partitions=8)
+    q = quantized(emb)
 
-    # --- IVF stage: deterministic centroids, probe's nprobe cells ----
-    centroid_rows = (
-        emb.filter(F.col("vec_id") < 16)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
+    # ONE driver-side job fetches the 256 (already-quantized) PQ
+    # training rows, which contain the 16 seed centroids (vec_id <
+    # 16), which contain the probe (vec_id 0) — three separate collect
+    # jobs were fixed-cost overhead (verdict r5 directive #2).
+    train = np.stack(
+        [
+            np.asarray(r["v"], dtype=np.int64)
+            for r in q.filter(F.col("vec_id") < 256).orderBy("vec_id").collect()
+        ]
     )
 
-    def l2norm(v):
-        n = math.sqrt(sum(x * x for x in v))
-        return [x / n for x in v] if n > 0 else list(v)
-
-    centroids = [l2norm([float(x) for x in r["embedding"]]) for r in centroid_rows]
-    probe = _probe(spark, sf_dir)
-
-    def cos_py(a, b):
-        return sum(x * y for x, y in zip(l2norm(a), l2norm(b)))
-
-    keep = sorted(range(16), key=lambda i: -cos_py(probe, centroids[i]))[:4]
-    nearest = sim.assign_nearest_np(centroids)
-    cell_members = emb.withColumn("cluster", nearest(F.col("embedding"))).filter(
-        F.col("cluster").isin(keep)
+    # --- IVF stage: exact-int centroids, probe's nprobe cells --------
+    cent = train[:16]
+    probe_q = train[0]
+    nrm = np.sqrt((cent * cent).sum(axis=1).astype(np.float64))
+    scores = (cent @ probe_q).astype(np.float64) / nrm
+    keep = sorted(range(16), key=lambda i: (-scores[i], i))[:4]
+    nearest = sim.assign_nearest_quantized(cent, pre_quantized=True)
+    members = (
+        q.withColumn("cluster", nearest(F.col("v")))
+        .filter(F.col("cluster").isin(keep))
+        .select("vec_id", "v")
     )
 
-    # --- PQ/ADC + exact rerank over the surviving cells --------------
-    train = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < 256)
-        .select("embedding")
-        .orderBy("vec_id")
-        .collect()
-    ]
-    codebooks = train_pq_codebooks(train, m=8, k=16)
-    return pq_topk(
-        cell_members,
-        "embedding",
-        "vec_id",
-        probe,
-        codebooks,
-        k=8,
-        candidates=32,
-        exclude_id=0,
+    # --- integer PQ/ADC cut + exact rerank over surviving cells ------
+    books = train_pq_codebooks_int(train, m=8, k=16, iters=2)
+    cand = (
+        members.withColumn("adc", adc_score_int("v", probe_q, books))
+        .filter(F.col("vec_id") != 0)
+        .orderBy(F.desc("adc"), "vec_id")
+        .limit(32)
+        .select(F.col("vec_id").alias("cand_id"))
     )
+    shortlist = emb.join(
+        F.broadcast(cand), emb["vec_id"] == F.col("cand_id")
+    ).select("vec_id", "embedding")
+    return brute_force_topk(
+        shortlist, "embedding", _probe(spark, sf_dir), k=8
+    ).select("vec_id", "sim")

@@ -195,7 +195,7 @@ _TOP_PMI = 50
                (SELECT CAST(SUM(cb) AS DOUBLE) FROM bf) AS nb
     ),
     pmi AS (
-        SELECT b.w1, b.w2, b.cb,
+        SELECT b.w1, b.w2, b.cb, u1.cu AS cu1, u2.cu AS cu2,
                ROUND(log2((CAST(b.cb AS DOUBLE) / t.nb)
                           / ((CAST(u1.cu AS DOUBLE) / t.nu)
                              * (CAST(u2.cu AS DOUBLE) / t.nu))), 6) AS pmi
@@ -205,13 +205,16 @@ _TOP_PMI = 50
         CROSS JOIN tot t
         WHERE b.cb >= {_MIN_PAIR}
     )
-    SELECT w1, w2, cb AS n_pair, pmi
+    SELECT w1, w2, cb AS n_pair, cu1 AS n_w1, cu2 AS n_w2, pmi
     FROM pmi ORDER BY pmi DESC, w1, w2 LIMIT {_TOP_PMI}
     """,
     f"Word-association mining: top-{_TOP_PMI} pointwise mutual "
     f"information bigrams with a >={_MIN_PAIR}-count support gate — "
     "the phrase-mining / tokenizer-merge-candidate table. Counts are "
-    "exact BIGINTs; each PMI is one log2 of a ratio of exact values "
+    "exact BIGINTs and the full integer evidence tuple (n_pair, n_w1, "
+    "n_w2) ships in the output, so the value hash is anchored on "
+    "exact integers even around the one transcendental; each PMI is "
+    "one log2 of a ratio of exact values "
     "(per-row transcendental, no accumulation); and the final "
     "ordering is on the ROUNDED pmi with (w1, w2) tiebreak — a total "
     "order both engines agree on, where ordering by the raw double "
@@ -257,7 +260,14 @@ def g_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cu", "cu1"), "w1")
         .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cu", "cu2"), "w2")
         .crossJoin(F.broadcast(tot))
-        .select("w1", "w2", F.col("cb").alias("n_pair"), pmi.alias("pmi"))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").alias("n_pair"),
+            F.col("cu1").alias("n_w1"),
+            F.col("cu2").alias("n_w2"),
+            pmi.alias("pmi"),
+        )
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_TOP_PMI)
     )

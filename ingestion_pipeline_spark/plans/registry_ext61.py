@@ -116,10 +116,15 @@ _N_CELLS = 16
 @register(
     "v_ivf_cell_balance",
     f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> floor(CAST(x AS DOUBLE) * 100000.0)) AS q
+        FROM embeddings
+    ),
     cent AS (
-        SELECT vec_id AS cid,
-               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+        SELECT vec_id AS cid, q AS cq,
+               sqrt(list_dot_product(q, q)) AS nrm
         FROM e WHERE vec_id < {_N_CELLS}
     ),
     assign AS (
@@ -127,7 +132,8 @@ _N_CELLS = 16
             SELECT e.vec_id, c.cid,
                    ROW_NUMBER() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid
+                       ORDER BY list_dot_product(e.q, c.cq) / c.nrm DESC,
+                                c.cid
                    ) AS rn
             FROM e CROSS JOIN cent c
         ) WHERE rn = 1
@@ -148,17 +154,22 @@ _N_CELLS = 16
     FROM cells c CROSS JOIN tot t
     """,
     f"IVF index health report for the v_ivf_topk layout ({_N_CELLS} "
-    "seed centroids, argmax-dot assignment — the same assignment "
-    "expression, re-derived by the oracle): per-cell population, "
-    "share, and the imbalance factor max_cell/(N/n_cells) that "
-    "predicts tail latency (a probe hitting the hot cell scans "
-    "imbalance_factor x the ideal row count). Shape: Arrow-vectorized "
+    "seed centroids, argmax assignment): per-cell population, share, "
+    "and the imbalance factor max_cell/(N/n_cells) that predicts tail "
+    "latency (a probe hitting the hot cell scans imbalance_factor x "
+    "the ideal row count). Assignment follows the exact-integer "
+    "discipline (the dq_label_outliers pattern): vectors AND "
+    "centroids quantized to floor(x*1e5) so every dot is an exact "
+    "int64 on both engines (no BLAS accumulation-order / FMA ulps); "
+    "the score dot/sqrt(||c||^2) is a single IEEE division by a "
+    "correctly-rounded sqrt of an exact integer — bit-identical "
+    "across engines, ties to lowest cid. Shape: Arrow-vectorized "
     "argmax assignment (one matmul per batch), one cluster-keyed "
     "count, a 1-row stats broadcast. The rebalance trigger of the "
     "ANN maintenance loop.",
 )
 def v_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
+    import numpy as np
 
     from ..operators import similarity as sim
     from ..operators.similarity import spread
@@ -170,13 +181,14 @@ def v_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
-
-    def l2norm(v: list[float]) -> list[float]:
-        nn = math.sqrt(sum(x * x for x in v))
-        return [x / nn for x in v] if nn > 0 else v
-
-    centroids = [l2norm([float(x) for x in r["embedding"]]) for r in centroid_rows]
-    nearest = sim.assign_nearest_np(centroids)
+    centroids_q = np.floor(
+        np.asarray(
+            [[float(x) for x in r["embedding"]] for r in centroid_rows],
+            dtype=np.float64,
+        )
+        * 100000.0
+    )
+    nearest = sim.assign_nearest_quantized(centroids_q)
     cells = (
         emb.select(nearest(F.col("embedding")).alias("cluster"))
         .groupBy("cluster")

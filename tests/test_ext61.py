@@ -41,6 +41,40 @@ def test_cell_balance_accounting(spark, sf_dir):
     assert all(r["imbalance_factor"] >= 1.0 for r in rows)
 
 
+def test_cell_balance_assignment_exact_integer(spark, sf_dir):
+    """The quantized argmax assignment (Arrow matmul) must equal a
+    pure-Python exact-integer recompute of the oracle's fold: quantize
+    to floor(x*1e5), exact int dots, score = dot / sqrt(||c||^2), ties
+    to lowest cid.  Guards the dq_label_outliers-style discipline that
+    makes the value hash engine-independent."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+
+    def q(v):
+        return [math.floor(float(x) * 100000.0) for x in v]
+
+    cents = {
+        r["vec_id"]: q(r["embedding"]) for r in emb if r["vec_id"] < 16
+    }
+    norms = {
+        cid: math.sqrt(sum(c * c for c in cv)) for cid, cv in cents.items()
+    }
+    counts: dict[int, int] = {}
+    for r in emb:
+        vq = q(r["embedding"])
+        best = min(
+            (
+                (-sum(a * b for a, b in zip(vq, cv)) / norms[cid], cid)
+                for cid, cv in cents.items()
+            )
+        )[1]
+        counts[best] = counts.get(best, 0) + 1
+    got = {
+        r["cluster"]: r["n_vectors"]
+        for r in query_map()["v_ivf_cell_balance"](spark, sf_dir).collect()
+    }
+    assert got == counts
+
+
 def test_curriculum_order_layout(spark, sf_dir):
     """Every doc appears once; positions are contiguous 1..|bucket|
     within each bucket; buckets span 1..10; identical across runs."""

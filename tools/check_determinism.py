@@ -116,7 +116,20 @@ def main() -> int:
             print("# nothing changed, nothing sampled — done")
             return 0
     else:
+        unknown = [a for a in args if a.startswith("--")]
+        if unknown:
+            # A bare --flag here would become a query-name selector that
+            # matches nothing: the sweep would silently check zero
+            # queries and exit 0, reading as a determinism pass.
+            print(f"error: unknown flag(s) {unknown} (only --diff BASE "
+                  f"[--sample N] or query names)", file=sys.stderr)
+            return 2
         only = set(args)
+        missing = only - set(queries())
+        if missing:
+            print(f"error: unknown query name(s): {sorted(missing)}",
+                  file=sys.stderr)
+            return 2
 
     spark = get_spark("check-determinism")
     qs = queries()

@@ -154,7 +154,57 @@ def build_scaled(spark, out_dir: str, k: int) -> dict[str, int]:
                         (F.col("ts") + F.make_interval(secs=F.col("__rep")))
                         .alias("ts")
                     )
+                elif c == "embedding":
+                    # VERDICT r5 directive #3: verbatim-copied embeddings
+                    # made every LSH bucket collide (identical vectors
+                    # share every band key → quadratic bucket joins that
+                    # real 100× data would not have) and degenerate
+                    # k-means/centroid geometry. Perturb each copy with
+                    # DETERMINISTIC per-(vec_id, rep, dim) hash noise,
+                    # then rescale to the ORIGINAL norm so unit-norm
+                    # invariants (cosine ≡ dot) survive. Replica 0 is the
+                    # identity copy — the base corpus embeds unchanged.
+                    # Noise amplitude ±0.15 per dim ≈ cosine ~0.8 to the
+                    # source vector: replicas are near neighbours (dup
+                    # structure still grows) but no longer collide in
+                    # every band.
+                    def _noisy(v):
+                        perturbed = F.transform(
+                            v,
+                            lambda x, j: x.cast("double")
+                            + (
+                                F.pmod(
+                                    F.xxhash64(
+                                        F.col("vec_id"), F.col("__rep"), j
+                                    ),
+                                    F.lit(10007),
+                                ).cast("double")
+                                / 10007.0
+                                - 0.5
+                            )
+                            * 0.3,
+                        )
+                        dot = lambda a: F.aggregate(  # noqa: E731
+                            a,
+                            F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                        )
+                        scale = F.sqrt(dot(v) / dot(perturbed))
+                        return F.transform(
+                            perturbed, lambda x, _j: (x * scale).cast("float")
+                        )
+
+                    cols.append(
+                        F.when(F.col("__rep") == 0, F.col(c))
+                        .otherwise(_noisy(F.col(c)))
+                        .alias(c)
+                    )
                 else:
+                    # NOTE bounded CLASS domains (embeddings.label,
+                    # documents.lang, event_type, priorities, flags …)
+                    # deliberately pass through unchanged: real 100×
+                    # growth adds rows per class, not classes. Only
+                    # entity KEYS grow (the list above).
                     cols.append(F.col(c))
             scaled = rep_df.select(*cols)
         dest = f"{out_dir}/{name}.parquet"
