@@ -246,6 +246,47 @@ def tx_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_SHARDS = 16
 
 
+def epoch_hashes(df: DataFrame, epoch_seed: str = "epoch1") -> DataFrame:
+    """(doc_id, h, h2, shard) — the STATELESS half of the epoch
+    shuffle: a pure function of (doc_id, epoch seed) needing zero
+    corpus knowledge.  This is what makes the permutation incremental
+    (``tests/test_incremental_epoch.py``): a newly ingested doc's
+    shard and sort key are computable from the doc alone, and the
+    within-shard read order (sort by ``(h2, doc_id)``) is STABLE under
+    insertion — existing docs never reorder relative to each other, so
+    new docs merge into a live epoch in O(new), never a corpus
+    reshuffle."""
+
+    def md5_bucket(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+    return df.select(
+        "doc_id",
+        md5_bucket(f"{epoch_seed}shard").alias("h"),
+        md5_bucket(f"{epoch_seed}order").alias("h2"),
+    ).withColumn("shard", (F.col("h") % _N_SHARDS).cast("long"))
+
+
+def epoch_positions(hashed: DataFrame) -> DataFrame:
+    """(doc_id, shard, pos) — the read-side rank over the accumulated
+    hash state (the only corpus-wide step; one per-shard window)."""
+    from pyspark.sql.window import Window
+
+    return hashed.select(
+        "doc_id",
+        "shard",
+        F.row_number()
+        .over(Window.partitionBy("shard").orderBy("h2", "doc_id"))
+        .cast("long")
+        .alias("pos"),
+    )
+
+
+
 @register(
     "pipeline_epoch_shuffle",
     f"""
@@ -275,30 +316,7 @@ _N_SHARDS = 16
     "for resumable writes) with the read-side randomization.",
 )
 def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    docs = table(spark, sf_dir, "documents")
-
-    def md5_bucket(prefix: str) -> F.Column:
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-
-    hashed = docs.select(
-        "doc_id",
-        md5_bucket("epoch1shard").alias("h"),
-        md5_bucket("epoch1order").alias("h2"),
-    ).withColumn("shard", (F.col("h") % _N_SHARDS).cast("long"))
-    return hashed.select(
-        "doc_id",
-        "shard",
-        F.row_number()
-        .over(Window.partitionBy("shard").orderBy("h2", "doc_id"))
-        .cast("long")
-        .alias("pos"),
-    )
+    return epoch_positions(epoch_hashes(table(spark, sf_dir, "documents")))
 
 
 _N_THRESH = 10

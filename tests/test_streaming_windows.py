@@ -188,6 +188,148 @@ def test_transform_with_state_matches_applyinpandas(spark, tmp_path):
     assert final[2] == (2, 9.0)
 
 
+def test_watermark_sized_from_lateness_profile(spark, sf_dir, tmp_path):
+    """Close the watermark loop (the w_watermark_lateness_profile
+    query's whole point): the lateness profile measured in BATCH sizes
+    the ``withWatermark`` delay of a REAL streaming aggregation, and
+    the drops the stream reports must equal the batch prediction.
+
+    The driver fixture's events arrive perfectly ordered (the profile
+    measures zero lateness — verified here), so the loop is exercised
+    twice: (a) fixture arrival order, profile-p95 delay → predicted
+    and observed drops are both ZERO; (b) a deterministic out-of-order
+    arrival permutation — bounded ingest disorder (scrambled within
+    1-day buckets) plus a ~3% straggler cohort arriving 3 days late,
+    the two-regime shape real ingest lateness has — where the SAME
+    lateness metric the profile defines (running max over prior
+    arrivals minus own event time) yields a nonzero p95, the stream is
+    watermarked at exactly that p95, and ``numRowsDroppedByWatermark``
+    summed over the micro-batches equals the batch-side watermark
+    simulation row for row (the stragglers are the drops).  Sizing at
+    max lateness instead drops nothing."""
+    import hashlib
+    import math
+
+    from ingestion_pipeline_spark.plans import query_map
+    from ingestion_pipeline_spark.sources.parquet_tables import table
+
+    # --- the registered profile on fixture arrival order -------------
+    prof = query_map()["w_watermark_lateness_profile"](spark, sf_dir).collect()
+    assert prof, "profile must produce per-type rows"
+    fixture_p95_us = max(r["p95_late_us"] for r in prof)
+
+    rows = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("us"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_str"),
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+
+    def lateness(seq):
+        """The profile's metric, global key: arrival position vs the
+        running max event time of everything that arrived before."""
+        run_max, out = None, []
+        for r in seq:
+            out.append(max(0, run_max - r["us"]) if run_max is not None else 0)
+            run_max = r["us"] if run_max is None else max(run_max, r["us"])
+        return out
+
+    assert max(lateness(rows)) == 0, "fixture is in-order by event_id"
+    assert fixture_p95_us == 0
+
+    # --- deterministic bounded-disorder arrival permutation ----------
+    day_us = 24 * 3_600 * 1_000_000
+
+    def arr_key(r):
+        h = hashlib.md5(f"arr1:{r['event_id']}".encode()).hexdigest()
+        bucket = r["us"] // day_us  # scramble within 1-day buckets
+        if int(h[:2], 16) < 8:  # ~3% stragglers arrive 3 days late
+            bucket += 3
+        return (bucket, h)
+
+    shuffled = sorted(rows, key=arr_key)
+    lates = sorted(lateness(shuffled))
+    p95_us = lates[int(math.ceil(0.95 * len(lates))) - 1]
+    max_us = lates[-1]
+    assert 0 < p95_us <= day_us < max_us
+
+    n_batches = 15
+    size = math.ceil(len(shuffled) / n_batches)
+    chunks = [shuffled[i : i + size] for i in range(0, len(shuffled), size)]
+
+    def predict_drops(delay_s):
+        """Spark's rule: the watermark (global max event time seen in
+        COMPLETED batches minus the delay, in ms) closes every window
+        whose end <= watermark; rows for closed windows are dropped."""
+        wm_ms, dropped = None, 0
+        for chunk in chunks:
+            for r in chunk:
+                end_ms = (r["us"] // 1000 // 3_600_000 + 1) * 3_600_000
+                if wm_ms is not None and end_ms <= wm_ms:
+                    dropped += 1
+            batch_max_ms = max(r["us"] // 1000 for r in chunk)
+            wm_ms = max(wm_ms or 0, batch_max_ms - delay_s * 1000)
+        return dropped
+
+    def run_stream(delay_s, tag):
+        src = tmp_path / f"wm_{tag}"
+        src.mkdir()
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+        win = windowed_event_counts(
+            stream, window_len="1 hour", watermark=f"{delay_s} seconds"
+        )
+        q = (
+            win.writeStream.format("memory")
+            .queryName(f"wmloop_{tag}")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            for b, chunk in enumerate(chunks):
+                (src / f"batch{b:03d}.json").write_text(
+                    "\n".join(
+                        json.dumps(
+                            {
+                                "event_id": r["event_id"],
+                                "ts": r["ts_str"],
+                                "user_id": r["user_id"],
+                                "event_type": r["event_type"],
+                                "value": r["value"],
+                            }
+                        )
+                        for r in chunk
+                    )
+                )
+                q.processAllAvailable()
+            return sum(
+                op["numRowsDroppedByWatermark"]
+                for p in q.recentProgress
+                for op in p["stateOperators"]
+            )
+        finally:
+            q.stop()
+
+    delay_p95_s = max(1, math.ceil(p95_us / 1_000_000))
+    delay_max_s = math.ceil(max_us / 1_000_000) + 1
+
+    predicted = predict_drops(delay_p95_s)
+    assert predicted > 0, "p95-sized watermark must drop part of the tail"
+    assert run_stream(delay_p95_s, "p95") == predicted
+    assert predict_drops(delay_max_s) == 0
+    assert run_stream(delay_max_s, "max") == 0
+    # fixture order with the profile-sized (zero-lateness) watermark:
+    # nothing can drop — the in-order case of the same loop
+    chunks = [rows[i : i + size] for i in range(0, len(rows), size)]
+    assert predict_drops(max(1, math.ceil(fixture_p95_us / 1e6))) == 0
+
+
 def test_transform_with_state_operator_builds(spark, tmp_path):
     """Sandbox-safe assertion for the transformWithState surface: the
     operator must construct its streaming plan (API names, output
