@@ -60,3 +60,4 @@ from . import registry_ext58  # noqa: F401  — OOV rate, langid confusion, temp
 from . import registry_ext59  # noqa: F401  — label outliers, PMI bigrams, watermark lateness profile
 from . import registry_ext60  # noqa: F401  — PCA power iteration, interval overlap join, retrieval MRR
 from . import registry_ext61  # noqa: F401  — kappa agreement, IVF cell balance, curriculum order, AL margin
+from . import registry_ext62  # noqa: F401  — DSIR importance, EG domain reweight, padding waste, IVF churn

@@ -85,15 +85,22 @@ def v_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("embedding")
     )
     exact = sim.topk_join(emb, probes, k=_K).select("probe_id", "vec_id")
+    # rename BOTH join keys on the LSH side: the frames share the
+    # `probes` lineage, and identically-named columns from shared
+    # lineage can resolve to one attribute (the analyzer dedups this
+    # one correctly — verified in the executed plan — but the rename
+    # keeps the join condition warning-free and un-ambiguous by
+    # construction, the e_retrieval_mrr discipline)
     lsh = sim.lsh_topk_join(emb, probes, dim=64, k=_K).select(
-        "probe_id", F.col("vec_id").alias("lsh_vec_id")
+        F.col("probe_id").alias("lsh_probe_id"),
+        F.col("vec_id").alias("lsh_vec_id"),
     )
     joined = exact.join(
         lsh,
-        (exact.probe_id == lsh.probe_id)
-        & (exact.vec_id == lsh.lsh_vec_id),
+        (F.col("probe_id") == F.col("lsh_probe_id"))
+        & (F.col("vec_id") == F.col("lsh_vec_id")),
         "left",
-    ).select(exact.probe_id, "vec_id", "lsh_vec_id")
+    ).select("probe_id", "vec_id", "lsh_vec_id")
     return joined.groupBy("probe_id").agg(
         F.count("lsh_vec_id").alias("n_matched"),
         (F.count("lsh_vec_id").cast("double") / _K).alias("recall_at_k"),

@@ -69,6 +69,44 @@ CHECKS: dict[str, str] = {
            / CAST(SUM(tf) AS DOUBLE) AS raw
     FROM terms GROUP BY doc_id
     """,
+    # registry_ext62.d_dsir_importance — same class: sorted fold of
+    # per-bucket log2 likelihood ratios, rounded to 6dp and hashed
+    "d_dsir_importance.dsir_score": f"""
+    WITH tokd AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+    bigr AS (
+        SELECT doc_id, lang, tk[i] AS w1, tk[i + 1] AS w2
+        FROM tokd, UNNEST(range(1, len(tk))) AS u(i)
+    ),
+    feats AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5('dsir' || w1 || ' ' || w2), 1, 8))
+                    AS BIGINT) % 256 AS b
+        FROM bigr
+    ),
+    raw_c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM feats GROUP BY b),
+    tgt_c AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM feats
+        WHERE lang = 'en' GROUP BY b
+    ),
+    tot AS (
+        SELECT (SELECT CAST(SUM(cr) AS DOUBLE) FROM raw_c) AS r,
+               (SELECT CAST(COALESCE(SUM(ct), 0) AS DOUBLE) FROM tgt_c) AS t
+    ),
+    lr AS (
+        SELECT r.b,
+               log2(((COALESCE(t.ct, 0) + 1) / (tot.t + 256))
+                    / ((r.cr + 1) / (tot.r + 256))) AS lr
+        FROM raw_c r LEFT JOIN tgt_c t ON r.b = t.b CROSS JOIN tot
+    ),
+    per AS (
+        SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM feats GROUP BY doc_id, b
+    )
+    SELECT list_aggregate(list_sort(list(CAST(p.tf AS DOUBLE) * l.lr)),
+                          'sum') AS raw
+    FROM per p JOIN lr l ON p.b = l.b
+    GROUP BY p.doc_id
+    """,
     "g_cooccurrence_pmi.pmi": f"""
     WITH tokd AS (SELECT {_TOKS} AS tk FROM documents),
     bigr AS (

@@ -102,6 +102,13 @@ DEFAULT_QUERIES = [
     "v_pca_power_iteration",
     "j_interval_overlap_join",
     "e_retrieval_mrr",
+    # ext62 (round 6): data-selection economics + integer-PQ upgrades
+    "d_dsir_importance",
+    "d_eg_domain_reweight",
+    "pipeline_padding_waste",
+    "v_ivf_reassignment_churn",
+    "v_pq_adc_topk",
+    "v_ivfadc_topk",
 ]
 
 
