@@ -204,6 +204,7 @@ def bpe_tokenize_counts_arrow(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The PRODUCTION BPE apply: the merge list broadcasts (closure
     capture — plan-time data, vocabulary-sized) into a batched Arrow
@@ -218,15 +219,22 @@ def bpe_tokenize_counts_arrow(
     are a dict lookup per occurrence.
 
     Same greedy left-to-right, training-order application semantics;
-    same output schema (id, n_words, n_bpe_tokens)."""
+    same output schema (id, n_words, n_bpe_tokens). ``carry_cols``
+    pass extra input columns through untouched (id, *carries,
+    n_words, n_bpe_tokens) so downstream rollups (per-lang fertility)
+    need no corpus-keyed join back to the source frame."""
     import re
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     id_field = docs.schema[id_col]
     out_schema = StructType(
-        [
-            StructField(id_col, id_field.dataType, id_field.nullable),
+        [StructField(id_col, id_field.dataType, id_field.nullable)]
+        + [
+            StructField(c, docs.schema[c].dataType, docs.schema[c].nullable)
+            for c in carry_cols
+        ]
+        + [
             StructField("n_words", IntegerType()),
             StructField("n_bpe_tokens", IntegerType()),
         ]
@@ -258,14 +266,18 @@ def bpe_tokenize_counts_arrow(
             return cache[w]
 
         for pdf in batches:
-            ids, n_words, n_tokens = [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+            n_words, n_tokens = [], []
+            for text in pdf[text_col]:
                 ws = word_re.findall((text or "").lower())
-                ids.append(doc_id)
                 n_words.append(len(ws))
                 n_tokens.append(sum(n_tok(w) for w in ws))
-            yield pd.DataFrame(
-                {id_col: ids, "n_words": n_words, "n_bpe_tokens": n_tokens}
-            )
+            out = {id_col: pdf[id_col]}
+            for c in carry_cols:
+                out[c] = pdf[c]
+            out["n_words"] = n_words
+            out["n_bpe_tokens"] = n_tokens
+            yield pd.DataFrame(out)
 
-    return docs.select(id_col, text_col).mapInPandas(run, out_schema)
+    return docs.select(id_col, *carry_cols, text_col).mapInPandas(
+        run, out_schema
+    )

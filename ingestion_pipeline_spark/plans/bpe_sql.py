@@ -130,3 +130,42 @@ def bpe_tokenize_sql(n_merges: int = 10, top_n: int = 200) -> str:
            COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens
     FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     """
+
+
+def bpe_fertility_sql(n_merges: int = 10, top_n: int = 200) -> str:
+    """Oracle for ``tx_tokenizer_fertility``: the ``bpe_tokenize_sql``
+    per-doc counts rolled up per language — n_docs / word / BPE-token
+    sums are exact BIGINTs, fertility (BPE tokens per word) is ONE
+    division of exact operands (0.0 for languages the alpha tokenizer
+    can't segment, e.g. zh: zero [a-z]+ words)."""
+    applied = "'|' || array_to_string(string_split(word, ''), '||') || '|'"
+    for k in range(1, n_merges + 1):
+        applied = f"replace({applied}, {_pat(k)}, {_rep(k)})"
+    return f"""
+    WITH {bpe_train_ctes(n_merges, top_n)},
+    doc_words AS MATERIALIZED (
+        SELECT doc_id, t.word AS word
+        FROM (SELECT doc_id, {_TOK_TOKS} AS w FROM documents) d,
+             UNNEST(w) AS t(word)
+    ),
+    per_word AS MATERIALIZED (
+        SELECT doc_id,
+               (length(fin) - length(replace(fin, '|', ''))) // 2 AS n_tok
+        FROM (SELECT doc_id, {applied} AS fin FROM doc_words)
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+        FROM per_word GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(p.n_words, 0)) AS BIGINT) AS sum_words,
+           CAST(SUM(COALESCE(p.n_bpe_tokens, 0)) AS BIGINT)
+               AS sum_bpe_tokens,
+           ROUND(COALESCE(CAST(SUM(COALESCE(p.n_bpe_tokens, 0)) AS DOUBLE)
+                          / NULLIF(SUM(COALESCE(p.n_words, 0)), 0),
+                          0.0), 6) AS fertility
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    GROUP BY d.lang
+    """

@@ -82,6 +82,12 @@ NLJ_ALLOWED = {
     "s_active_learning_margin",   # 1-row (min+max)/2 threshold broadcast
     "pipeline_context_length_sweep",  # 4-row candidate-length grid
                                       # broadcast fan-out onto the scan
+    "d_dsir_importance",      # 1-row (R, T) corpus-total broadcast onto
+                              # the 256-row bucket-ratio table
+    "d_eg_domain_reweight",   # 1-row max-loss + 1-row weight-total
+                              # broadcasts onto the |domains|-row frame
+    "pipeline_token_budget",  # 1-row (n_src, budget) totals broadcast
+                              # onto the |sources|-row frame
     "entry",
 }
 
