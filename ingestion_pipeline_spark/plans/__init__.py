@@ -62,3 +62,4 @@ from . import registry_ext60  # noqa: F401  — PCA power iteration, interval ov
 from . import registry_ext61  # noqa: F401  — kappa agreement, IVF cell balance, curriculum order, AL margin
 from . import registry_ext62  # noqa: F401  — DSIR importance, EG domain reweight, padding waste, IVF churn
 from . import registry_ext63  # noqa: F401  — tokenizer fertility, token budget, vocab overlap, calibration bins
+from . import registry_ext64  # noqa: F401  — mixture manifest, LSH band tuning, Benford deviation

@@ -88,6 +88,11 @@ NLJ_ALLOWED = {
                               # broadcasts onto the |domains|-row frame
     "pipeline_token_budget",  # 1-row (n_src, budget) totals broadcast
                               # onto the |sources|-row frame
+    "dq_benford_deviation",   # 1-row order-count total broadcast onto
+                              # the 9-row literal digit grid
+    "pipeline_mixture_manifest",  # 1-row max-loss broadcast onto the
+                                  # |sources|-row tilt frame (the
+                                  # d_eg_domain_reweight shape)
     "entry",
 }
 
