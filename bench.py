@@ -5,11 +5,18 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed best-of-N (N=2 once a sub-second time is seen,
+Each query is executed best-of-N (N=3 once a sub-second time is seen,
 N=5 for the >=1 s cohort) and the best time kept (early runs pay
 one-off file-listing / codegen / JIT costs that a warm cluster
 amortizes); per-query [min, median, max, n] spread goes to
 bench_detail.json.
+
+Session hygiene (VERDICT r6 #2): real warm-up queries run untimed
+before the loop (position-1 queries used to pay the 3-7 s session
+cold-start), and the new detail file carries a ``vs_prior`` block —
+common-subset wall and median per-query ratio against the previous
+committed bench_detail.json — so the ±10-15% session drift is
+quantified per run instead of re-litigated per verdict.
 """
 
 from __future__ import annotations
@@ -36,8 +43,46 @@ def main() -> None:
     # Bench the ENTIRE registry in its contract order (graded window
     # first) — every queries() entry is measured, none silently capped.
     names = list(qs)
+
+    # Prior per-query map (for the vs_prior common-subset comparison) —
+    # read BEFORE this run overwrites the file.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    # Priors are kept per-sf (bench_detail_sf{sf}.json sidecar) so an
+    # iteration run at sf0.01 can't clobber the committed sf0.1 prior
+    # the driver's round run compares against.
+    sidecar_path = detail_path.replace(".json", f"_sf{sf}.json")
+    prior_times: dict[str, float] = {}
+    prior_sf = None
+    for src in (detail_path, sidecar_path):
+        try:
+            with open(src) as fh:
+                prior = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if prior.get("sf") == sf:
+            prior_times = dict(prior.get("queries", {}))
+            prior_sf = sf
+            break
+
     # Session warmup: JVM + parquet footer caches, one tiny action.
     spark.range(1).count()
+    # Real warm-up (VERDICT r6 #2a): exercise the expensive one-off
+    # session paths — parquet listing + scan, shuffle + codegen compile,
+    # Arrow/pandas-UDF worker spin-up — untimed and excluded from every
+    # total, so whichever query happens to sit at position 1 of the
+    # graded window stops absorbing the 3-7 s session cold-start.
+    for wname in ("q1_pricing_summary", "v_cosine_top8"):
+        if wname in qs:
+            try:
+                qs[wname](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — warm-up must never fail a bench
+                pass
+    print("# warm-up done (untimed: q1_pricing_summary, v_cosine_top8)",
+          file=sys.stderr)
 
     times: dict[str, float] = {}
     # name -> [min, median, max, n_runs] — the variance record VERDICT
@@ -58,10 +103,12 @@ def main() -> None:
             # same-code run by >2x on four multi-stage >1s queries
             # (pipeline_corpus_prep 3.34 vs 1.42s) — multi-stage
             # scheduling noise that best-of-3 cannot average out.
-            # Policy: sub-second queries stop after two runs (rerun
-            # variance < reporting grain); >=1s queries get five.  Spread
-            # stats land in bench_detail.json so a reviewer can tell a
-            # regression from residual variance.
+            # Policy (VERDICT r6 #2b raised the floor): sub-second
+            # queries stop after THREE runs (the r6 detail showed 63
+            # sub-second queries with n=2 spreads too wide to separate
+            # regression from scheduling noise); >=1s queries get five.
+            # Spread stats land in bench_detail.json so a reviewer can
+            # tell a regression from residual variance.
             runs: list[float] = []
             for i in range(5):
                 t0 = time.perf_counter()
@@ -70,7 +117,7 @@ def main() -> None:
                 # Catalyst prune computed columns and under-measure).
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
-                if i >= 1 and min(runs) < 1.0:
+                if i >= 2 and min(runs) < 1.0:
                     break
             runs.sort()
             times[name] = round(runs[0], 3)
@@ -130,6 +177,38 @@ def main() -> None:
         "spread": spread,
         "sf": sf,
     }
+    # vs_prior (VERDICT r6 #2c): quantify session drift against the
+    # previous committed detail file over the COMMON query subset, so a
+    # round-over-round wall comparison starts from numbers, not vibes.
+    if prior_times and prior_sf == sf:
+        common = sorted(set(times) & set(prior_times))
+        ratios = sorted(
+            times[n] / prior_times[n] for n in common if prior_times[n] > 0
+        )
+        if ratios:
+            mid = len(ratios) // 2
+            med_ratio = (
+                ratios[mid]
+                if len(ratios) % 2
+                else (ratios[mid - 1] + ratios[mid]) / 2
+            )
+            movers = {
+                n: [prior_times[n], times[n]]
+                for n in common
+                if prior_times[n] > 0
+                and max(times[n], 0.05) / max(prior_times[n], 0.05) > 1.5
+            }
+            detail["vs_prior"] = {
+                "n_common": len(common),
+                "common_wall_now": round(sum(times[n] for n in common), 3),
+                "common_wall_prior": round(
+                    sum(prior_times[n] for n in common), 3
+                ),
+                "median_ratio": round(med_ratio, 3),
+                # queries >1.5x slower than prior (floored at 50 ms so
+                # millisecond jitter doesn't flag), for adjudication
+                "regressions_gt_1p5x": movers,
+            }
     if errors:
         detail["errors"] = errors
     # Per-query detail goes to stderr + a side file; stdout's FINAL line is
@@ -137,14 +216,12 @@ def main() -> None:
     # and parses the last line — a 93-entry map overflowed it in rounds 1-2
     # (BENCH_r02.json: rc=0 but parsed=null), so keep this line short.
     print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
-            "w",
-        ) as fh:
-            json.dump(detail, fh, indent=1)
-    except OSError:
-        pass
+    for out_path in (detail_path, sidecar_path):
+        try:
+            with open(out_path, "w") as fh:
+                json.dump(detail, fh, indent=1)
+        except OSError:
+            pass
     slowest = sorted(times, key=times.get, reverse=True)[:3]
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -155,6 +232,10 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(times),
         "n_errors": len(errors),
+        # one number for round-over-round drift; detail in vs_prior
+        "vs_prior_median_ratio": detail.get("vs_prior", {}).get(
+            "median_ratio"
+        ),
         # keep the contract's "queries" key but bounded (3 slowest) so the
         # line always fits the driver's tail window; full map in
         # bench_detail.json and on stderr.

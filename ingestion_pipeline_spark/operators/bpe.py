@@ -271,9 +271,12 @@ def bpe_tokenize_counts_arrow(
                 ws = word_re.findall((text or "").lower())
                 n_words.append(len(ws))
                 n_tokens.append(sum(n_tok(w) for w in ws))
-            out = {id_col: pdf[id_col]}
+            # positional alignment by construction (advice r6): the
+            # computed counts are plain lists, so carried Series must
+            # drop any non-RangeIndex an upstream batch might carry
+            out = {id_col: pdf[id_col].reset_index(drop=True)}
             for c in carry_cols:
-                out[c] = pdf[c]
+                out[c] = pdf[c].reset_index(drop=True)
             out["n_words"] = n_words
             out["n_bpe_tokens"] = n_tokens
             yield pd.DataFrame(out)

@@ -79,7 +79,14 @@ def train_pq_codebooks_int(Q, m: int = 8, k: int = 16, iters: int = 2):
     per-dim SUM/COUNT with truncation toward zero (Spark ``div`` ==
     DuckDB ``//``, both verified trunc), empty clusters keep their
     previous codeword. Coordinates ≤ ~KM_SCALE so diff²·d_sub ≪ 2^63 —
-    no overflow anywhere."""
+    no overflow anywhere.
+
+    PARITY PRECONDITION: codewords here are keyed by array POSITION
+    (init ``sub[:k]``, argmin ties to the lowest index) while the
+    ``plans/pq_sql.py`` oracle keys them by ``vec_id`` (``WHERE vec_id
+    < k``, ties to the lowest cid). The two coincide only when the
+    training rows are ordered by contiguous ids 0..n-1 — call sites
+    assert this after the ordered collect."""
     import numpy as np
 
     Q = np.asarray(Q, dtype=np.int64)

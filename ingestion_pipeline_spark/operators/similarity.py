@@ -195,7 +195,14 @@ def assign_nearest_quantized(
     from pyspark.sql.types import IntegerType
 
     cent = np.asarray(centroids_q, dtype=np.float64)  # (n, dim), int-valued
+    # exactness preconditions (advice r6): an all-zero centroid would
+    # make dot/norm NaN (ill-defined argmax), and |c| > scale breaks the
+    # "every partial sum ≪ 2^53" argument the bit-parity claim rests on
+    if np.abs(cent).max(initial=0.0) > scale:
+        raise ValueError("assign_nearest_quantized: |centroid| > scale")
     inv_norm_scores = np.sqrt((cent * cent).sum(axis=1))  # exact ints → sqrt
+    if (inv_norm_scores == 0).any():
+        raise ValueError("assign_nearest_quantized: all-zero centroid")
 
     @pandas_udf(IntegerType())
     def nearest(vecs: pd.Series) -> pd.Series:
@@ -204,6 +211,8 @@ def assign_nearest_quantized(
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
         if not pre_quantized:
             mat = np.floor(mat * scale)
+        if mat.size and np.abs(mat).max() > scale:
+            raise ValueError("assign_nearest_quantized: |x_q| > scale")
         dots = mat @ cent.T  # exact integer values in float64
         scores = dots / inv_norm_scores[None, :]  # single IEEE div each
         return pd.Series(np.argmax(scores, axis=1).astype("int32"))

@@ -49,12 +49,13 @@ def v_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quantized(emb)
     # bounded training sample: first 256 vectors by id (deterministic);
     # collected ALREADY-quantized so no float touches Python
-    train = np.stack(
-        [
-            np.asarray(r["v"], dtype=np.int64)
-            for r in q.filter(F.col("vec_id") < 256).orderBy("vec_id").collect()
-        ]
-    )
+    rows = q.filter(F.col("vec_id") < 256).orderBy("vec_id").collect()
+    # parity precondition (advice r6): train_pq_codebooks_int keys
+    # codewords by array POSITION while pq_sql keys them by vec_id —
+    # identical only when ids are contiguous 0..n-1
+    ids = [r["vec_id"] for r in rows]
+    assert ids == list(range(len(ids))), f"non-contiguous train ids: {ids[:8]}…"
+    train = np.stack([np.asarray(r["v"], dtype=np.int64) for r in rows])
     books = train_pq_codebooks_int(train, m=8, k=16, iters=2)
     cand = (
         q.withColumn("adc", adc_score_int("v", train[0], books))

@@ -62,12 +62,12 @@ def v_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training rows, which contain the 16 seed centroids (vec_id <
     # 16), which contain the probe (vec_id 0) — three separate collect
     # jobs were fixed-cost overhead (verdict r5 directive #2).
-    train = np.stack(
-        [
-            np.asarray(r["v"], dtype=np.int64)
-            for r in q.filter(F.col("vec_id") < 256).orderBy("vec_id").collect()
-        ]
-    )
+    rows = q.filter(F.col("vec_id") < 256).orderBy("vec_id").collect()
+    # parity precondition (advice r6): position-keyed codebooks vs the
+    # oracle's vec_id-keyed ones coincide only for contiguous 0..n-1 ids
+    ids = [r["vec_id"] for r in rows]
+    assert ids == list(range(len(ids))), f"non-contiguous train ids: {ids[:8]}…"
+    train = np.stack([np.asarray(r["v"], dtype=np.int64) for r in rows])
 
     # --- IVF stage: exact-int centroids, probe's nprobe cells --------
     cent = train[:16]

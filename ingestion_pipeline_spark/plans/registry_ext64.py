@@ -36,6 +36,60 @@ _EG_CAP = 2000    # same loss proxy as d_eg_domain_reweight
 _EG_LEVELS = 8    # tilt exponents 0..7; acceptance denominator 2^7
 
 
+def mixture_tilts(docs: DataFrame) -> DataFrame:
+    """The manifest's corpus-DEPENDENT half: per-source dyadic tilt
+    exponents from capped mean char-loss (exact BIGINT arithmetic).
+    Frozen at epoch start, this table is what makes the manifest
+    incremental — see ``tests/test_incremental_epoch.py``."""
+    dom = docs.groupBy("source").agg(
+        F.expr(f"sum(least(n_chars, {_EG_CAP})) div count(*)").alias(
+            "loss_milli"
+        )
+    )
+    mx = dom.agg(F.max("loss_milli").alias("m"))
+    return dom.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.expr(f"(loss_milli * {_EG_LEVELS}) div (m + 1)")
+        .cast("long")
+        .alias("tilt_exp"),
+    )
+
+
+def mixture_draw(doc_id: F.Column) -> F.Column:
+    """The manifest's STATELESS half: a doc's acceptance draw is a pure
+    content hash of its id — partition-independent and fixed for the
+    document's lifetime, so reprocessing / corpus growth can never flip
+    an old decision under a frozen tilt table."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix"), doc_id.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (1 << (_EG_LEVELS - 1))
+    )
+
+
+def mixture_accept(docs: DataFrame, tilt: DataFrame) -> DataFrame:
+    """Apply a (frozen or fresh) tilt table to docs: broadcast join +
+    codegen filter — the manifest body shared by the registry query and
+    the incremental twin test."""
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(tilt), "source")
+        .select(
+            "doc_id", "source", "tilt_exp",
+            mixture_draw(F.col("doc_id")).alias("draw"),
+        )
+        .filter(
+            F.col("draw")
+            < F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tilt_exp AS INT))")
+        )
+    )
+
+
 @register(
     "pipeline_mixture_manifest",
     f"""
@@ -76,39 +130,7 @@ _EG_LEVELS = 8    # tilt exponents 0..7; acceptance denominator 2^7
 )
 def pipeline_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    dom = docs.groupBy("source").agg(
-        F.expr(f"sum(least(n_chars, {_EG_CAP})) div count(*)").alias(
-            "loss_milli"
-        )
-    )
-    mx = dom.agg(F.max("loss_milli").alias("m"))
-    tilt = dom.crossJoin(F.broadcast(mx)).select(
-        "source",
-        F.expr(f"(loss_milli * {_EG_LEVELS}) div (m + 1)")
-        .cast("long")
-        .alias("tilt_exp"),
-    )
-    draw = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % (1 << (_EG_LEVELS - 1))
-    )
-    return (
-        docs.select("doc_id", "source")
-        .join(F.broadcast(tilt), "source")
-        .select("doc_id", "source", "tilt_exp", draw.alias("draw"))
-        .filter(
-            F.col("draw")
-            < F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tilt_exp AS INT))")
-        )
-    )
+    return mixture_accept(docs, mixture_tilts(docs))
 
 
 _SQL_TOKS = SQL_TOKENS.format(col="text")

@@ -177,3 +177,103 @@ def test_curriculum_order_incremental_frozen_thresholds(spark, sf_dir, tmp_path)
         for r in query_map()["pipeline_curriculum_order"](spark, sf_dir).collect()
     }
     assert len(got) == len(rows)
+
+
+def test_mixture_manifest_incremental_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming twin for ``pipeline_mixture_manifest`` (verdict r6
+    #6): the manifest's reprocessing-stability claim — content-hash
+    draws mean new corpus batches never flip old accept decisions —
+    proven through a real foreachBatch stream, the epoch-shuffle
+    pattern applied to mixture sampling.  Per batch only the NEW docs
+    are drawn (stateless map, no corpus read); the accumulated state
+    joined with the full-corpus tilt table equals the batch query row
+    for row; and under a FROZEN tilt table the accept set over batch-1
+    docs is byte-identical whether evaluated after batch 1 or after
+    all batches arrived."""
+    from ingestion_pipeline_spark.plans.registry_ext64 import (
+        mixture_accept,
+        mixture_draw,
+        mixture_tilts,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    third = len(docs) // 3
+    chunks = [
+        [
+            {"doc_id": r["doc_id"], "source": r["source"],
+             "n_chars": r["n_chars"]}
+            for r in part
+        ]
+        for part in (docs[:third], docs[third : 2 * third], docs[2 * third :])
+    ]
+
+    state_dir = str(tmp_path / "mix_state")
+    batch_sizes: list[int] = []
+
+    def handle(batch_df, _bid):
+        # stateless half: draw ONLY the new docs — one hash per doc,
+        # no corpus read, no reshuffle of prior state
+        out = batch_df.select(
+            "doc_id", "source", mixture_draw(F.col("doc_id")).alias("draw")
+        )
+        batch_sizes.append(out.count())
+        out.write.mode("append").parquet(state_dir)
+
+    _stream_batches(
+        spark, tmp_path, chunks, handle,
+        "doc_id long, source string, n_chars long",
+    )
+    assert len(batch_sizes) == 3 and sum(batch_sizes) == len(docs)
+    assert all(n < len(docs) for n in batch_sizes), "no batch saw the corpus"
+
+    # read-side merge: accumulated draws + full-corpus tilts == the
+    # registered batch query, tuple for tuple (draws are reused from
+    # state — recomputing them would defeat the incremental claim)
+    acc = spark.read.parquet(state_dir)
+    tilt_full = mixture_tilts(table(spark, sf_dir, "documents"))
+    inc = {
+        (r["doc_id"], r["source"], r["tilt_exp"], r["draw"])
+        for r in acc.join(F.broadcast(tilt_full), "source")
+        .filter(
+            F.col("draw")
+            < F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tilt_exp AS INT))")
+        )
+        .select("doc_id", "source", "tilt_exp", "draw")
+        .collect()
+    }
+    full = {
+        (r["doc_id"], r["source"], r["tilt_exp"], r["draw"])
+        for r in query_map()["pipeline_mixture_manifest"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert inc == full
+
+    # stability law: FREEZE the tilt table at the batch-1 snapshot;
+    # the accept decisions over batch-1 docs must be identical when
+    # re-evaluated after the full corpus arrived — growth never flips
+    # an old decision under a frozen tilt
+    first = spark.createDataFrame(
+        chunks[0], "doc_id long, source string, n_chars long"
+    )
+    frozen_tilt = mixture_tilts(first).collect()
+    frozen_df = spark.createDataFrame(frozen_tilt)
+    accept_then = {
+        r["doc_id"] for r in mixture_accept(first, frozen_df).collect()
+    }
+    first_ids = {c["doc_id"] for c in chunks[0]}
+    all_df = spark.createDataFrame(
+        [c for ch in chunks for c in ch],
+        "doc_id long, source string, n_chars long",
+    )
+    accept_later = {
+        r["doc_id"]
+        for r in mixture_accept(all_df, frozen_df).collect()
+        if r["doc_id"] in first_ids
+    }
+    assert accept_then == accept_later

@@ -122,7 +122,27 @@ def main() -> int:
             except Exception:  # noqa: BLE001
                 pass
         if name not in oracles:
-            print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            # Bound-based gate (VERDICT r6 #3): no value hash — the
+            # output embeds engine-internal bytes/hashes — but the
+            # estimate must sit inside its analytic error band around
+            # the exact answer DuckDB/stdlib computes.
+            from ingestion_pipeline_spark.plans.bounds import BOUND_CHECKS
+
+            chk = BOUND_CHECKS.get(name)
+            if chk is None:
+                print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+                continue
+            try:
+                viol = chk(con, srows)
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL {name}: bound-check error: {e}")
+                failed.append(name)
+                continue
+            if viol:
+                print(f"FAIL {name}: bound violations: {viol[:3]}")
+                failed.append(name)
+            else:
+                print(f"PASS {name} [bounds] ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             dtab = con.execute(oracles[name]).fetch_arrow_table()
