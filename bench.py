@@ -149,6 +149,14 @@ def main() -> None:
             # 203-query run). Safe here: each timed run rebuilds its
             # checkpoints from scratch.
             try:
+                # clearCache first: unpersisting blocks while the
+                # CacheManager entry survives leaves a stale entry that a
+                # LATER query with a matching plan fragment recomputes
+                # into (slower than no cache at all — r7 scale-sweep
+                # finding, 20.9 -> 36.7 s on a .persist()-using query).
+                # Between queries only, so within-query best-of-N runs
+                # still share their own caches.
+                spark.catalog.clearCache()
                 it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
                 while it.hasNext():
                     it.next().unpersist(False)

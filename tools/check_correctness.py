@@ -116,6 +116,10 @@ def main() -> int:
             # pin (bench.py documents the measured leak); results are
             # already materialized above, so nothing needs the blocks
             try:
+                # clearCache first so no stale CacheManager entry
+                # survives the block drop (see bench.py — a later query
+                # with a matching plan fragment would recompute into it)
+                spark.catalog.clearCache()
                 it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
                 while it.hasNext():
                     it.next().unpersist(False)

@@ -107,8 +107,17 @@ DEFAULT_QUERIES = [
     "d_eg_domain_reweight",
     "pipeline_padding_waste",
     "v_ivf_reassignment_churn",
-    "v_pq_adc_topk",
-    "v_ivfadc_topk",
+    "v_ivfadc_topk",  # v_pq_adc_topk already in the round-2 block
+    # ext63/ext64 (round 6): tokenizer economics, selection
+    # materialization, QA screens — the full-suite r7 sweep (verdict
+    # r6 #4) covers every tranche's heaviest shapes in ONE session
+    "tx_tokenizer_fertility",
+    "pipeline_token_budget",
+    "g_vocab_overlap",
+    "e_calibration_bins",
+    "pipeline_mixture_manifest",
+    "d_minhash_band_tuning",
+    "dq_benford_deviation",
 ]
 
 
@@ -253,6 +262,30 @@ def main() -> int:
             times[name] = -1.0
             failures += 1
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
+        finally:
+            # Release localCheckpoint blocks between queries — the same
+            # measured leak bench.py documents (iterative ops pin ~6
+            # blocksets per invocation; in the r7 70-query single-session
+            # sweep the accumulated pressure degraded UNRELATED late
+            # queries 4-16x: d_minhash_lsh_md5_pairs 4.0 -> 66.6 s,
+            # v_kmeans_clusters 7.0 -> 41.5 s, all recovered once this
+            # loop landed).
+            try:
+                # clearCache BEFORE the RDD loop: dropping blocks while
+                # the CacheManager entry survives leaves a STALE entry —
+                # the next query whose plan fragment matches it
+                # recomputes INTO the dead cache ("Asked to cache
+                # already cached data"), measured 20.9 -> 36.7 s on
+                # back-to-back d_minhash_band_tuning runs.
+                spark.catalog.clearCache()
+                it = (
+                    spark.sparkContext._jsc.sc()
+                    .getPersistentRDDs().values().iterator()
+                )
+                while it.hasNext():
+                    it.next().unpersist(False)
+            except Exception:  # noqa: BLE001 — hygiene must never fail a smoke
+                pass
 
     print(json.dumps({"k": k, "build_sec": build_s, "rows": rows, "queries": times}))
     shutil.rmtree(out_dir, ignore_errors=True)
