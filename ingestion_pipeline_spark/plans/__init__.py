@@ -63,3 +63,4 @@ from . import registry_ext61  # noqa: F401  — kappa agreement, IVF cell balanc
 from . import registry_ext62  # noqa: F401  — DSIR importance, EG domain reweight, padding waste, IVF churn
 from . import registry_ext63  # noqa: F401  — tokenizer fertility, token budget, vocab overlap, calibration bins
 from . import registry_ext64  # noqa: F401  — mixture manifest, LSH band tuning, Benford deviation
+from . import registry_ext65  # noqa: F401  — join-skew profile, minhash calibration, dedup cascade

@@ -48,6 +48,8 @@ NLJ_ALLOWED = {
     "t_bm25_keyword_topk",  # 1-row corpus-stats (N, avgdl, df) broadcast
     "v_hybrid_rrf_fusion",  # BM25 stats broadcast + 1-row probe, both inherited
     "v_negative_samples",  # tiny anchor set broadcast x corpus on label<>: by design
+    "dq_join_skew_profile",  # 10-row TakeOrdered top-k x 1-row stats broadcast
+    "pipeline_dedup_cascade",  # three 1-row count aggregates cross-joined into the 2-row stack
     "g_triangle_counts",   # 1-row edge/node-count aggregates broadcast onto 1-row triangle count
     "g_histogram_totalprice",  # 1-row (min, max) bounds broadcast onto the scan
     "dq_psi_drift",        # 1-row bounds/totals/psi-total broadcasts onto |bins| rows
@@ -127,6 +129,10 @@ GLOBAL_WINDOW_ALLOWED = {
                              "(registry_ext21.py:151)",
     "v_hybrid_rrf_fusion":   "two rank windows over two top-k result "
                              "lists feeding RRF",
+    "dq_join_skew_profile":  "cumsum + totals over the distinct-cnt "
+                             "count histogram (bounded value domain, "
+                             "groupBy output) and rank over the 10-row "
+                             "TakeOrdered heap (registry_ext65.py)",
     "v_sign_hamming_topk":   "rank over the k-row topk() output "
                              "(registry_ext49.py:296-303)",
 }

@@ -118,7 +118,80 @@ DEFAULT_QUERIES = [
     "pipeline_mixture_manifest",
     "d_minhash_band_tuning",
     "dq_benford_deviation",
+    # ext65 (round 7): shuffle/LSH operational diagnostics + cascade
+    "dq_join_skew_profile",
+    "d_minhash_jaccard_calibration",
+    "pipeline_dedup_cascade",
 ]
+
+
+_PERMS3 = [
+    [0, 1, 2], [0, 2, 1], [1, 0, 2], [1, 2, 0], [2, 0, 1], [2, 1, 0]
+]
+
+
+def _perturb_text(col):
+    """Per-replica word-level text perturbation (documents only):
+    hash-selected permutations of word TRIPLES. Word group
+    j = (3j, 3j+1, 3j+2) is rearranged by permutation
+    ``xxhash64(md5(text), rep, j) % 6`` — two distinct patterns pick
+    the same arrangement for a group with probability 1/6, so a 3-gram
+    (spanning ≤ 2 groups) survives both with ~(1/6)² — measured
+    cross-replica Jaccard ~0.03, far below the registry's lowest
+    near-dup threshold (0.12). Trailing partial groups (< 3 words) and
+    docs shorter than 3 words stay identity.
+
+    Why this exact construction (three earlier cuts measured worse):
+    - Rearranging preserves the word MULTISET and exact char count — a
+      word-SUFFIXING cut grew the vocabulary ×K (tx_bpe_tokenize 6.7 →
+      64.7 s; real vocabulary grows sublinearly).
+    - The pattern must vary per (text, rep), not per rep%5 — a
+      stride-5 positional cut collapsed k=100 into 5 distinct
+      patterns (20-strong identical-copy families; d_dup_clusters
+      293 s at 100×) and left cross-replica Jaccard ~0.3, ABOVE the
+      0.12 clustering threshold, so near-dup families still grew ×K.
+    - Binary pair-swaps bottom out at same-decision probability 1/2 →
+      measured mean cross-replica Jaccard 0.17, still above 0.12;
+      6-way triple permutations push it to ~0.03.
+    - Seeding on md5(text) (not doc_id) makes identical-text docs
+      share each replica's pattern: every base exact-dup family
+      replicates as a NEW same-sized family per rep — dup-family
+      COUNT grows ×K, family SIZE stays constant, which is how real
+      corpora grow. Replica 0 is the identity copy (handled by the
+      caller), so the base corpus and its dup structure survive
+      verbatim."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(col, " ")
+    perms = F.array(
+        *[F.array(*[F.lit(x) for x in p]) for p in _PERMS3]
+    )
+
+    def with_seed(h):  # h = md5(text), bound ONCE per row
+        def build(t):
+            n = F.size(t)
+
+            def elem(w, i):
+                j = (i / 3).cast("long")          # group index
+                r = (i % 3) + 1                   # 1-based slot in group
+                p = F.pmod(
+                    F.xxhash64(h, F.col("__rep"), j), F.lit(6)
+                ).cast("int")
+                src = F.element_at(F.element_at(perms, p + 1), r)
+                # full groups only: a trailing group of < 3 words (and
+                # any doc of < 3 words) keeps identity order
+                return F.when(
+                    (j * 3 + 3) <= n,
+                    F.element_at(t, (j * 3 + src + 1).cast("int")),
+                ).otherwise(w)
+
+            return F.transform(t, elem)
+
+        return F.element_at(F.transform(F.array(toks), build), 1)
+
+    return F.array_join(
+        F.element_at(F.transform(F.array(F.md5(col)), with_seed), 1), " "
+    )
 
 
 def build_scaled(spark, out_dir: str, k: int) -> dict[str, int]:
@@ -213,6 +286,36 @@ def build_scaled(spark, out_dir: str, k: int) -> dict[str, int]:
                     cols.append(
                         F.when(F.col("__rep") == 0, F.col(c))
                         .otherwise(_noisy(F.col(c)))
+                        .alias(c)
+                    )
+                elif c == "text" and name == "documents":
+                    # Round-7: the TEXT analog of the r5/r6 embedding
+                    # fix. Verbatim-copied text grows every dup FAMILY
+                    # ×K instead of growing the NUMBER of families —
+                    # identical signatures collide in every minhash
+                    # band, so candidate pairs (and CC graphs built on
+                    # them) grow quadratically in K: first-ever 100×
+                    # measurements saw d_minhash_lsh_candidates at
+                    # 100.1 s / d_dup_clusters at 130.2 s on the
+                    # verbatim replica. Suffix every 5th word with a
+                    # per-replica tag (~20% of words → ~½ of 3-gram
+                    # shingles change → inter-replica Jaccard ~0.3:
+                    # near-dup-ish, not identical). Replica 0 stays the
+                    # identity copy, so the base corpus and its ORIGINAL
+                    # dup structure survive verbatim.
+                    cols.append(
+                        F.when(F.col("__rep") == 0, F.col(c))
+                        .otherwise(_perturb_text(F.col(c)))
+                        .alias(c)
+                    )
+                elif c == "n_chars" and name == "documents":
+                    # keep the fixture invariant n_chars == length(text)
+                    # through the perturbation
+                    cols.append(
+                        F.when(F.col("__rep") == 0, F.col(c))
+                        .otherwise(
+                            F.length(_perturb_text(F.col("text"))).cast("long")
+                        )
                         .alias(c)
                     )
                 else:
