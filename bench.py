@@ -31,6 +31,51 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 
+def _fresh_minima(names: list[str], sf_dir: str, repo_dir: str) -> dict[str, float]:
+    """Fresh-subprocess standalone re-run of >1.5x movers (VERDICT r7
+    #4): every round spent prose adjudicating whether a mover was a
+    real regression or long-session JVM/scheduling pressure — the
+    machinery now does it. Each mover runs best-of-3 in its OWN fresh
+    Spark subprocess (run 1 absorbs the session cold-start; min is the
+    warm standalone cost), so bench_detail.json carries the
+    fresh-session number next to the in-suite one. Capped at 8
+    subprocesses per run — more movers than that is session-level
+    drift, not per-query regressions."""
+    import subprocess
+
+    out: dict[str, float] = {}
+    for name in names[:8]:
+        script = (
+            "import sys,time\n"
+            f"sys.path.insert(0,{repo_dir!r})\n"
+            "from ingestion_pipeline_spark.plans import query_map\n"
+            "from ingestion_pipeline_spark.session import get_spark\n"
+            "spark=get_spark('bench-fresh')\n"
+            "spark.range(1).count()\n"
+            f"fn=query_map()[{name!r}]\n"
+            "runs=[]\n"
+            "for i in range(3):\n"
+            "    t0=time.perf_counter()\n"
+            f"    fn(spark,{sf_dir!r}).write.format('noop')"
+            ".mode('overwrite').save()\n"
+            "    runs.append(time.perf_counter()-t0)\n"
+            "print('FRESHMIN:%.3f'%min(runs))\n"
+        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", script],
+                capture_output=True,
+                text=True,
+                timeout=300,
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("FRESHMIN:"):
+                    out[name] = float(line.split(":", 1)[1])
+        except Exception:  # noqa: BLE001 — adjudication must never fail a bench
+            pass
+    return out
+
+
 def main() -> None:
     from ingestion_pipeline_spark.plans import query_map
     from ingestion_pipeline_spark.session import get_spark
@@ -217,6 +262,25 @@ def main() -> None:
                 # millisecond jitter doesn't flag), for adjudication
                 "regressions_gt_1p5x": movers,
             }
+            # Automatic fresh-session adjudication (VERDICT r7 #4):
+            # each mover re-runs standalone in its own subprocess;
+            # entries become [prior, in_suite, fresh_min].
+            if movers:
+                print(
+                    f"# adjudicating {len(movers)} movers in fresh "
+                    "subprocesses...",
+                    file=sys.stderr,
+                )
+                fresh = _fresh_minima(
+                    sorted(movers),
+                    sf_dir,
+                    os.path.dirname(os.path.abspath(__file__)),
+                )
+                for n, fm in fresh.items():
+                    movers[n] = movers[n] + [fm]
+                    print(f"# fresh_min {n}: {fm}s (in-suite "
+                          f"{times[n]}s)", file=sys.stderr)
+                detail["vs_prior"]["fresh_min"] = fresh
     if errors:
         detail["errors"] = errors
     # Per-query detail goes to stderr + a side file; stdout's FINAL line is

@@ -124,7 +124,15 @@ def check_compression_ratio(con, srows) -> list[str]:
             if len(viol) >= 3:
                 break
         want_flag = None if want is None else (want < 0.35 or want > 0.9)
-        if want is not None and r["flag_compressibility"] != want_flag:
+        if want is None:
+            # None-parity both ways: an empty/NULL-text doc must carry a
+            # NULL flag too (a spurious non-NULL flag used to pass).
+            if r["flag_compressibility"] is not None:
+                viol.append(
+                    f"doc {r['doc_id']}: flag "
+                    f"{r['flag_compressibility']} on NULL-ratio doc"
+                )
+        elif r["flag_compressibility"] != want_flag:
             viol.append(f"doc {r['doc_id']}: flag != threshold test")
     return viol
 

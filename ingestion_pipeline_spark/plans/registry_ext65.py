@@ -14,22 +14,32 @@ dedup attrition report every corpus release ships with.
   count-histogram — percentiles come from a cumulative window over
   |distinct count values| rows, never a global sort of the keys.
 - ``d_minhash_jaccard_calibration`` — the LSH estimator audited
-  against its ground truth: for every md5-banded candidate pair (the
-  graded ``d_minhash_lsh_md5_pairs`` machinery), the signature-slot
-  Jaccard estimate (matching mins / 8, exact ×1250 basis points) next
-  to the EXACT 3-gram Jaccard and the signed error. At 100 TB the
-  near-dup pipeline trusts minhash agreement as a Jaccard proxy; this
-  query measures that proxy's bias on the corpus itself. Candidates
-  ≪ corpus, so the whole audit rides the one banding self-join —
-  the same re-rank-carrying-shingle-sets shape as ``d_jaccard_pairs``.
+  against its ground truth: for each md5-banded candidate pair inside
+  a bounded PER-BUCKET pair budget (rank ≤ ``_PAIR_CAP`` by (id_a,
+  id_b) within each (band, bucket)), the signature-slot Jaccard
+  estimate (matching mins / 8, exact ×1250 basis points) next to the
+  EXACT 3-gram Jaccard, plus an exact census (n_pairs_total vs
+  n_pairs_sampled) so capping is never silent. At 100 TB the near-dup
+  pipeline trusts minhash agreement as a Jaccard proxy; this query
+  measures that proxy's bias on a deterministic per-bucket sample —
+  the expensive exact-Jaccard verify bill is bounded by
+  buckets × budget instead of Σ C(k,2) (VERDICT r7 #1: the uncapped
+  form was quadratic in template-family size, 4.3 → 38.4 s at
+  10×→100×).
 - ``pipeline_dedup_cascade`` — per-stage attrition of the standard
   dedup cascade: exact (normalized-content md5 keep-min-id, the
   ``d_exact_dup_groups`` convention) then near-dup (md5-LSH candidates
-  over the exact-stage survivors, exact-Jaccard ≥ 0.5 qualify, greedy
-  keep-lower-id). Output is the 2-row docs_in/docs_out/removed table
-  a corpus release report leads with. All counts are single
-  aggregates; the near stage reuses the banded-join machinery, so no
-  stage is more expensive than the dedup operators it composes.
+  over the exact-stage survivors; DROP ANY DOC WITH A QUALIFYING
+  (exact-Jaccard ≥ 0.5) LOWER-ID CANDIDATE — note: not sequential
+  greedy; a doc is dropped even when its qualifying partner is itself
+  dropped, which under-counts survivors vs the keep-set cascade).
+  Output is the 2-row docs_in/docs_out/removed table a corpus release
+  report leads with. The near stage verifies pairs with an ITERATIVE
+  min-rank sweep (geometric rank batches per doc, early-terminating on
+  the first qualifying partner) — same answer as verify-all-pairs, so
+  the quadratic DuckDB oracle still value-gates it, but the verify
+  bill on boilerplate-heavy corpora is ~one pair per dropped doc
+  instead of C(family, 2) (VERDICT r7 #1).
 
 Reference provenance: all three are beyond-reference training-data
 surface (the reference dedups by primary key only, processor.py:55-59);
@@ -179,11 +189,19 @@ _CAL_MATCH = " + ".join(
     for i in range(_N_HASHES)
 )
 
+# Per-(band, bucket) pair budget for the calibration audit: the exact-
+# Jaccard verify bill is bounded by |buckets| × _PAIR_CAP at ANY corpus
+# size, while the skinny candidate generation (ids only) stays the
+# proven-near-flat banded join. Deterministic: pairs rank by (id_a,
+# id_b) inside their bucket, so both engines sample identically, and
+# the census columns report exactly what the cap excluded.
+_PAIR_CAP = 24
+
 
 @register(
     "d_minhash_jaccard_calibration",
     f"""
-    WITH toks AS (
+    WITH sig AS (
         SELECT doc_id,
                {', '.join(_mh_sql(i) for i in range(_N_HASHES))},
                list_distinct(CASE WHEN len(list_filter(
@@ -198,55 +216,76 @@ _CAL_MATCH = " + ".join(
                  ELSE [] END) AS sh
         FROM documents
     ),
-    sig AS (SELECT * FROM toks),
-    bands AS (
-        SELECT doc_id, band, bucket, {', '.join(f'mh_{i}' for i in range(_N_HASHES))}, sh
-        FROM ({_BANDS_UNION}) u
-        JOIN sig USING (doc_id)
+    bands AS ({_BANDS_UNION}),
+    pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROW_NUMBER() OVER (PARTITION BY a.band, a.bucket
+                                  ORDER BY a.doc_id, b.doc_id) AS prk
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+    ),
+    allp AS (SELECT DISTINCT id_a, id_b FROM pr),
+    samp AS (SELECT DISTINCT id_a, id_b FROM pr WHERE prk <= {_PAIR_CAP}),
+    census AS (
+        SELECT CAST((SELECT COUNT(*) FROM allp) AS BIGINT) AS n_pairs_total,
+               CAST((SELECT COUNT(*) FROM samp) AS BIGINT) AS n_pairs_sampled
     )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT s.id_a, s.id_b,
         CAST({_CAL_MATCH} AS BIGINT) AS match_slots,
         CAST(({_CAL_MATCH}) * 1250 AS BIGINT) AS est_bp,
         CAST(len(list_intersect(a.sh, b.sh)) * 10000 AS BIGINT)
             // CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
-                    AS BIGINT) AS jac_bp
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+                    AS BIGINT) AS jac_bp,
+        c.n_pairs_total, c.n_pairs_sampled
+    FROM samp s
+    JOIN sig a ON a.doc_id = s.id_a
+    JOIN sig b ON b.doc_id = s.id_b
+    CROSS JOIN census c
     """,
-    "MinHash estimator calibration: for every md5-banded candidate "
-    "pair (the graded d_minhash_lsh_md5_pairs machinery), the "
-    "signature-slot Jaccard estimate (matching mins/8 as exact x1250 "
-    "basis points) beside the EXACT 3-gram Jaccard (x10000 bp, trunc "
-    "division) — the audit of the proxy the near-dup pipeline trusts "
-    "at 100 TB. The banding self-join stays SKINNY (doc_id, band, "
-    "bucket — arrays never ride the 4x fan-out; measured 5x cheaper "
-    "than carrying them), and the candidate pairs (<< corpus) join "
-    "back to the persist()ed signature/shingle table — the artifact a "
-    "dedup pipeline materializes anyway. Nothing touches pairs "
-    "outside LSH buckets.",
+    "MinHash estimator calibration under a bounded verify budget: for "
+    f"each md5-banded candidate pair ranked <= {_PAIR_CAP} by (id_a, "
+    "id_b) within its (band, bucket), the signature-slot Jaccard "
+    "estimate (matching mins/8 as exact x1250 basis points) beside "
+    "the EXACT 3-gram Jaccard (x10000 bp, trunc division) — the audit "
+    "of the proxy the near-dup pipeline trusts at 100 TB. The census "
+    "columns (n_pairs_total vs n_pairs_sampled) make the cap exact "
+    "and visible — no silent truncation (VERDICT r7 #1: uncapped, the "
+    "exact-Jaccard bill grew quadratically in template-family size, "
+    "4.3 s at 10x -> 38.4 s at 100x; capped, it is bounded by "
+    "buckets x budget). The banding self-join stays SKINNY (doc_id, "
+    "band, bucket — arrays never ride the 4x fan-out), the rank "
+    "window rides the bucket-partitioned pair stream, and only the "
+    "sampled pairs join back to the persist()ed signature/shingle "
+    "table.",
 )
 def d_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import shingles
+    from ..operators.dedup import minhash_md5_slots, shingles
     from ..operators.relational import spread
 
     docs = spread(table(spark, sf_dir, "documents"), min_partitions=8)
-
-    def mh(i: int):
-        return F.array_min(
-            F.transform(
-                F.col("__sh"), lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
-            )
-        ).alias(f"mh_{i}")
 
     # signatures + shingle sets are the stored artifact a 100 TB dedup
     # pipeline materializes anyway; persist() so the banding pass and
     # both candidate join-backs read ONE computation (the arrays must
     # NOT ride the band explode — a first cut carried them through the
     # 4× fan-out and the exchange shuffled 4 copies of every shingle
-    # set: 31.2 s at 10× vs ~6 s restructured)
+    # set: 31.2 s at 10× vs ~6 s restructured). All 8 md5 slots come
+    # from ONE Arrow kernel pass straight off the text column
+    # (minhash_md5_slots, VERDICT r7 #3); __sh stays the JVM shingle
+    # array the exact-Jaccard verify joins consume.
+    mh8 = minhash_md5_slots(_N_HASHES)
     sig = (
-        docs.select("doc_id", shingles(F.col("text"), 3).alias("__sh"))
-        .select("doc_id", "__sh", *[mh(i) for i in range(_N_HASHES)])
+        docs.select(
+            "doc_id",
+            shingles(F.col("text"), 3).alias("__sh"),
+            mh8(F.col("text")).alias("__mh"),
+        )
+        .select(
+            "doc_id",
+            "__sh",
+            *[F.col("__mh").getItem(i).alias(f"mh_{i}") for i in range(_N_HASHES)],
+        )
         .filter(F.col("mh_0").isNotNull())
         .persist()
     )
@@ -262,7 +301,12 @@ def d_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("band", "bucket"),
     )
     left, right = bands.alias("l"), bands.alias("r")
-    pairs = (
+    # skinny ranked pair stream: ids only through the join AND the rank
+    # window; pr feeds both the census (distinct-all) and the sample
+    # (rank-capped distinct), so persist() it — bucket-partitioned
+    # row_number is deterministic because (id_a, id_b) is unique within
+    # a bucket
+    pr = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -270,9 +314,29 @@ def d_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(
-            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+            F.col("l.band").alias("band"),
+            F.col("l.bucket").alias("bucket"),
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
         )
-        .distinct()
+        .withColumn(
+            "prk",
+            F.row_number().over(
+                Window.partitionBy("band", "bucket").orderBy("id_a", "id_b")
+            ),
+        )
+        .select("id_a", "id_b", "prk")
+        .persist()
+    )
+    allp = pr.select("id_a", "id_b").distinct()
+    samp = pr.filter(F.col("prk") <= _PAIR_CAP).select("id_a", "id_b").distinct()
+    census = (
+        allp.agg(F.count("*").cast("long").alias("n_pairs_total"))
+        .crossJoin(
+            F.broadcast(
+                samp.agg(F.count("*").cast("long").alias("n_pairs_sampled"))
+            )
+        )
     )
     a = sig.select(
         F.col("doc_id").alias("id_a"),
@@ -289,7 +353,7 @@ def d_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         for i in range(_N_HASHES)
     )
     return (
-        pairs.join(a, "id_a")
+        samp.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
@@ -302,6 +366,7 @@ def d_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
                 "- size(array_intersect(sh_a, sh_b)))"
             ).alias("jac_bp"),
         )
+        .crossJoin(F.broadcast(census))
     )
 
 
@@ -357,18 +422,29 @@ _NEAR_BP = 5000  # exact-Jaccard qualify threshold for the near stage
     """,
     "Dedup-cascade attrition report: stage 1 removes exact dups "
     "(normalized-content md5, keep-min-id — the d_exact_dup_groups "
-    "convention); stage 2 removes near-dups among the survivors "
-    "(md5-LSH candidates, exact 3-gram Jaccard >= 0.5 qualify, greedy "
-    "keep-lower-id — deterministic and SQL-expressible). Output is "
-    "the 2-row docs_in/docs_out/removed table a corpus release leads "
-    "with. Each stage is exactly as expensive as the dedup operator "
-    "it composes (one content-hash shuffle; one SKINNY banded "
-    "self-join over survivors with exact-Jaccard computed on the "
-    "candidates-only join-back); the counts are three 1-row "
-    "aggregates broadcast into a 2-row stack — nothing driver-side.",
+    "convention); stage 2 removes near-dups among the survivors: DROP "
+    "ANY DOC WITH A QUALIFYING (exact 3-gram Jaccard >= 0.5) LOWER-ID "
+    "md5-LSH CANDIDATE. (Not sequential greedy: a doc is dropped even "
+    "when its qualifying partner was itself dropped, so docs_out "
+    "under-counts survivors vs the keep-set cascade — deterministic "
+    "and SQL-expressible either way.) Output is the 2-row "
+    "docs_in/docs_out/removed table a corpus release leads with. The "
+    "near stage verifies candidates with an ITERATIVE MIN-RANK SWEEP "
+    "(VERDICT r7 #1): pairs stay skinny through the banded join, each "
+    "doc's candidates are ranked by partner id, and geometric rank "
+    "batches (1, then x16: 2-31, 32-511, ...) verify exact Jaccard "
+    "ONLY for docs not already dropped by an earlier batch — "
+    "identical answer to "
+    "verify-all-pairs (the drop rule is EXISTS, and every rank of an "
+    "undropped doc eventually gets tested), so the quadratic DuckDB "
+    "oracle still value-gates it, but on boilerplate-heavy corpora "
+    "the verify bill is ~one pair per dropped doc instead of "
+    "C(family, 2) (uncapped: 9.1 s at 10x -> 70.9 s at 100x). "
+    "log2(max candidates) bounded rounds, localCheckpoint lineage "
+    "discipline (the operators/graph.py fixed-point pattern).",
 )
 def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import shingles
+    from ..operators.dedup import minhash_md5_slots, shingles
     from ..operators.relational import spread
 
     docs = table(spark, sf_dir, "documents")
@@ -378,20 +454,25 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = docs.groupBy(norm.alias("__h")).agg(F.min("doc_id").alias("doc_id"))
     d1 = docs.join(s1.select("doc_id"), "doc_id")
 
-    def mh(i: int):
-        return F.array_min(
-            F.transform(
-                F.col("__sh"), lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
-            )
-        ).alias(f"mh_{i}")
-
     # same skinny-banding discipline as the calibration query: the
     # shingle arrays never ride the band fan-out; candidates join back
-    # to the persisted signature table (62.2 s → ~7 s at 10×)
+    # to the persisted signature table (62.2 s → ~7 s at 10×); all 8
+    # md5 slots from ONE Arrow kernel pass straight off the text
+    # column (VERDICT r7 #3); __sh stays the JVM shingle array the
+    # exact-Jaccard verify consumes
+    mh8 = minhash_md5_slots(_N_HASHES)
     sig = (
         spread(d1, min_partitions=8)
-        .select("doc_id", shingles(F.col("text"), 3).alias("__sh"))
-        .select("doc_id", "__sh", *[mh(i) for i in range(_N_HASHES)])
+        .select(
+            "doc_id",
+            shingles(F.col("text"), 3).alias("__sh"),
+            mh8(F.col("text")).alias("__mh"),
+        )
+        .select(
+            "doc_id",
+            "__sh",
+            *[F.col("__mh").getItem(i).alias(f"mh_{i}") for i in range(_N_HASHES)],
+        )
         .filter(F.col("mh_0").isNotNull())
         .persist()
     )
@@ -407,7 +488,10 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band", "bucket"),
     )
     left, right = bands.alias("l"), bands.alias("r")
-    pairs = (
+    # skinny distinct candidate pairs, ranked per doc by partner id:
+    # rank 1 is the doc's minimal candidate — on near-dup families the
+    # first batch resolves almost every drop
+    ranked = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -418,33 +502,61 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
         )
         .distinct()
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("id_b").orderBy("id_a")),
+        )
+        .persist()
     )
-    drops = (
-        pairs.join(
-            sig.select(
-                F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a")
-            ),
-            "id_a",
-        )
-        .join(
-            sig.select(
-                F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b")
-            ),
-            "id_b",
-        )
-        .filter(
-            F.expr(
-                f"(size(array_intersect(sh_a, sh_b)) * 10000) div "
-                f"(size(sh_a) + size(sh_b) "
-                f"- size(array_intersect(sh_a, sh_b))) >= {_NEAR_BP}"
+    sh_a = sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    qualify = F.expr(
+        f"(size(array_intersect(sh_a, sh_b)) * 10000) div "
+        f"(size(sh_a) + size(sh_b) "
+        f"- size(array_intersect(sh_a, sh_b))) >= {_NEAR_BP}"
+    )
+    # geometric early-termination sweep: round 1 verifies ONLY each
+    # doc's rank-1 (minimal) candidate — on near-dup corpora that
+    # resolves the vast majority of drops with one pair per doc — then
+    # ×16 rank batches ([2,32), [32,512), ...) for the docs still
+    # undecided, anti-joined against the already-dropped set before
+    # the expensive exact-Jaccard verify. EXISTS semantics make this
+    # exact: a doc's fate never depends on other docs' fates, and
+    # every rank of a never-qualifying doc is eventually tested. The
+    # ×16 stride keeps the round count (each round ≈ a fixed-cost job
+    # that re-probes the persisted signature table) at 3-4 for any
+    # realistic max candidate-list length, while per-doc verify
+    # overshoot stays ≤ 16× its first qualifying rank.
+    max_rk_row = ranked.agg(F.max("rk").alias("m")).first()
+    max_rk = max_rk_row["m"] or 0
+    dropped: DataFrame | None = None
+    lo = 1
+    while lo <= max_rk:
+        hi = 2 if lo == 1 else lo * 16
+        batch = ranked.filter((F.col("rk") >= lo) & (F.col("rk") < hi))
+        if dropped is not None:
+            batch = batch.join(
+                dropped.select(F.col("doc_id").alias("id_b")), "id_b", "left_anti"
             )
+        newly = (
+            batch.join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .filter(qualify)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+            # cut the per-round lineage — the graph.py fixed-point
+            # discipline (harnesses release the pinned blocks between
+            # queries)
+            .localCheckpoint(eager=True)
         )
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
+        dropped = newly if dropped is None else dropped.union(newly)
+        lo = hi
+    if dropped is None:
+        nd = spark.range(1).select(F.lit(0).cast("long").alias("nd"))
+    else:
+        nd = dropped.agg(F.count("*").cast("long").alias("nd"))
     n0 = docs.agg(F.count("*").alias("n0"))
     n1 = s1.agg(F.count("*").alias("n1"))
-    nd = drops.agg(F.count("*").alias("nd"))
     row = n0.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(nd))
     return row.selectExpr(
         "stack(2, 'exact', n0, n1, n0 - n1, "

@@ -78,6 +78,29 @@ def test_join_skew_profile_recompute(spark, sf_dir):
 def test_minhash_calibration_recompute(spark, sf_dir, docs):
     sigs = {d: _minhash8(_shingles(t)) for d, t in docs}
     shs = {d: _shingles(t) for d, t in docs}
+    # independent recompute of the per-bucket pair budget (rank by
+    # (id_a, id_b) within each (band, bucket), keep <= _PAIR_CAP) and
+    # the exact census the capped plan must report
+    from ingestion_pipeline_spark.plans.registry_ext65 import _PAIR_CAP
+
+    ids = [d for d, _ in docs if sigs[d] is not None]
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for d in ids:
+        sa = sigs[d]
+        for band in range(4):
+            buckets.setdefault(
+                (band, sa[2 * band] + sa[2 * band + 1]), []
+            ).append(d)
+    all_pairs: set[tuple[int, int]] = set()
+    samp_pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        prs = sorted(
+            (a, b)
+            for i, a in enumerate(sorted(members))
+            for b in sorted(members)[i + 1 :]
+        )
+        all_pairs.update(prs)
+        samp_pairs.update(prs[:_PAIR_CAP])
     rows = query_map()["d_minhash_jaccard_calibration"](spark, sf_dir).collect()
     assert rows, "fixture should produce at least one candidate pair"
     seen = set()
@@ -98,19 +121,13 @@ def test_minhash_calibration_recompute(spark, sf_dir, docs):
             sa[2 * band] == sb[2 * band] and sa[2 * band + 1] == sb[2 * band + 1]
             for band in range(4)
         )
-    # completeness: every banded-colliding pair with valid signatures
-    # must be reported (same machinery as d_minhash_lsh_md5_pairs)
-    ids = [d for d, _ in docs if sigs[d] is not None]
-    want_pairs = set()
-    for i, a in enumerate(ids):
-        for b in ids[i + 1 :]:
-            sa, sb = sigs[a], sigs[b]
-            if any(
-                sa[2 * k] == sb[2 * k] and sa[2 * k + 1] == sb[2 * k + 1]
-                for k in range(4)
-            ):
-                want_pairs.add((a, b))
-    assert seen == want_pairs
+        # census columns are exact and constant across rows
+        assert r["n_pairs_total"] == len(all_pairs)
+        assert r["n_pairs_sampled"] == len(samp_pairs)
+    # the reported pair set is EXACTLY the deterministic per-bucket
+    # sample; nothing outside it, nothing sampled missing
+    assert seen == samp_pairs
+    assert samp_pairs <= all_pairs
 
 
 def test_dedup_cascade_recompute(spark, sf_dir, docs):

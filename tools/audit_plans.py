@@ -50,6 +50,7 @@ NLJ_ALLOWED = {
     "v_negative_samples",  # tiny anchor set broadcast x corpus on label<>: by design
     "dq_join_skew_profile",  # 10-row TakeOrdered top-k x 1-row stats broadcast
     "pipeline_dedup_cascade",  # three 1-row count aggregates cross-joined into the 2-row stack
+    "d_minhash_jaccard_calibration",  # 1-row pair-census (total vs sampled) broadcast onto the capped calibration rows
     "g_triangle_counts",   # 1-row edge/node-count aggregates broadcast onto 1-row triangle count
     "g_histogram_totalprice",  # 1-row (min, max) bounds broadcast onto the scan
     "dq_psi_drift",        # 1-row bounds/totals/psi-total broadcasts onto |bins| rows

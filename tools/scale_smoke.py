@@ -290,19 +290,16 @@ def build_scaled(spark, out_dir: str, k: int) -> dict[str, int]:
                     )
                 elif c == "text" and name == "documents":
                     # Round-7: the TEXT analog of the r5/r6 embedding
-                    # fix. Verbatim-copied text grows every dup FAMILY
-                    # ×K instead of growing the NUMBER of families —
-                    # identical signatures collide in every minhash
-                    # band, so candidate pairs (and CC graphs built on
-                    # them) grow quadratically in K: first-ever 100×
-                    # measurements saw d_minhash_lsh_candidates at
-                    # 100.1 s / d_dup_clusters at 130.2 s on the
-                    # verbatim replica. Suffix every 5th word with a
-                    # per-replica tag (~20% of words → ~½ of 3-gram
-                    # shingles change → inter-replica Jaccard ~0.3:
-                    # near-dup-ish, not identical). Replica 0 stays the
-                    # identity copy, so the base corpus and its ORIGINAL
-                    # dup structure survive verbatim.
+                    # fix — perturb text per replica so dup FAMILIES
+                    # multiply instead of growing ×K (verbatim copies
+                    # collide in every minhash band → quadratic pair
+                    # joins: d_minhash_lsh_candidates 100.1 s at 100×).
+                    # Construction details, measured inter-replica
+                    # Jaccard, and the rejected alternatives (word
+                    # suffixing, stride swaps) live in _perturb_text's
+                    # docstring. Replica 0 stays the identity copy, so
+                    # the base corpus and its ORIGINAL dup structure
+                    # survive verbatim.
                     cols.append(
                         F.when(F.col("__rep") == 0, F.col(c))
                         .otherwise(_perturb_text(F.col(c)))
