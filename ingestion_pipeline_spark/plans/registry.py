@@ -100,76 +100,56 @@ def register(name: str, sql: Optional[str], doc: str):
 # the genuinely non-SQL-expressible entries (approximate ANN / sketch
 # ops, graded rows-only) last.
 GRADED_WINDOW = [
-    # Round-7 rotation — GENERATED by ``tools/compose_window.py --pin
-    # d_difficulty_buckets --pin v_pq_adc_topk --pin v_ivfadc_topk``
-    # (verdict r6 directives #1 and #5). With never-graded at zero
-    # after r6, this is the first (nearly) pure oldest-grade regrade
-    # rotation: 3 pins (one-round stability proof for the r6
-    # first-time PQ/IVFADC oracles and the repositioned
-    # d_difficulty_buckets), the 3 never-graded r7 micro-tranche
-    # queries (ext65: join-skew profile, minhash-Jaccard calibration,
-    # dedup-cascade attrition — each passed the three-SF differential
-    # and the two-layout determinism sweep before entering), then 44
-    # oldest-grade regrades ranked oldest-last-grade-first with file
-    # churn breaking ties — which retires the entire r1/r2-graded
-    # block (rag_context_block, t_latest_event_per_user,
-    # x_cve_extraction, ...). Evidence table reproducible from the
-    # command; recorded in ROUND7.md. No semantics changed for any
-    # regrade entry this round (the r6 advice fixes are guards/
-    # alignment hardening that leave every graded value unchanged;
-    # verified by the full differential at r7 HEAD).
-    # --- pinned (3) + never-graded ext65 (3) ---
-    "d_difficulty_buckets",
-    "v_pq_adc_topk",
-    "v_ivfadc_topk",
     "d_minhash_jaccard_calibration",
-    "dq_join_skew_profile",
     "pipeline_dedup_cascade",
-    # --- oldest-grade regrades (44, churn-ranked) ---
-    "q3_shipping_priority",
-    "t_latest_event_per_user",
-    "v_cosine_top8",
-    "v_threshold_search",
-    "w_hourly_event_rollup",
-    "x_cve_extraction",
-    "x_text_stats",
-    "e_union_doc_sets",
-    "p_json_roundtrip",
-    "rag_context_block",
-    "d_minhash_md5_signatures",
-    "tx_chunk_overlap",
-    "mm_media_features",
-    "w_gapfill_hourly",
-    "pipeline_corpus_prep",
-    "g_zorder_orders",
-    "j_fuzzy_name_pairs",
-    "f_orders_combo",
-    "g_events_stats",
-    "j_big_spender_semi",
-    "p_props_extraction",
-    "q1_pricing_summary",
-    "q5_region_revenue",
-    "t_top3_orders_per_customer",
-    "v_knn_join",
-    "v_lsh_knn_join",
-    "d_embedding_near_dups",
-    "w_sessionize_events",
-    "x_explode_cve_join",
-    "d_simhash16_portable",
-    "v_embed_hashing_check",
-    "tx_bpe_tokenize",
-    "t_topk_per_group_pandas",
-    "v_two_stage_rerank",
-    "g_grouping_sets_revenue",
-    "j_asof_click_before_purchase",
-    "q9_nation_profit",
-    "w_session_window_rollup",
-    "d_lpa_communities",
-    "d_pagerank_neardup",
-    "dq_orders_expectations",
-    "g_countmin_heavy_hitters",
-    "g_incremental_rollup_refresh",
-    "g_value_trend",
+    "d_minhash_lsh_md5_pairs",
+    "pipeline_corpus_stats",
+    "pipeline_shard_manifest",
+    "s_quality_classifier",
+    "t_inverted_index",
+    "t_tfidf_topk",
+    "tx_dedup_chunks_rebuild",
+    "tx_unicode_normalize",
+    "v_matryoshka_prefix_topk",
+    "v_mmr_rerank",
+    "v_sign_hamming_topk",
+    "w_zscore_anomalies",
+    "d_containment_pairs",
+    "d_dup_clusters",
+    "j_point_in_time_enrich",
+    "s_pyds_nvd_scan",
+    "t_bm25_keyword_topk",
+    "v_hybrid_rrf_fusion",
+    "v_kmeans_clusters",
+    "w_time_weighted_avg",
+    "w_running_user_value",
+    "tx_quality_scores",
+    "q15_top_supplier",
+    "q19_flexible_or",
+    "q7_nation_trade",
+    "rag_answer_end_to_end",
+    "tx_bpe_merges",
+    "d_contamination_5gram",
+    "g_triangle_counts",
+    "tx_gopher_quality_flags",
+    "tx_repetition_ratio",
+    "w_cohort_retention",
+    "w_funnel_conversion",
+    "d_stratified_sample",
+    "g_pivot_returnflag",
+    "j_price_band_join",
+    "q11_top_brand_value",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q20_heavy_suppliers",
+    "q21_sole_blocking_supplier",
+    "q22_rich_quiet_customers",
+    "q2_cheapest_part_per_type",
+    "q8_market_share",
+    "tx_fingerprints",
+    "tx_topk_bigrams",
 ]
 
 
