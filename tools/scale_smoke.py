@@ -10,7 +10,11 @@ sizes all grow 10× like real data would (NOT a row-copy with identical
 keys, which would only grow dup-groups). Fixture inputs themselves are
 untouched. Usage:
 
-    python tools/scale_smoke.py [K] [query ...]
+    python tools/scale_smoke.py [--warmup] [K] [query ...]
+
+``--warmup`` runs each query once untimed at sf0.001 first (absorbs
+the one-time plan-compile cost that otherwise dominates single-run
+fresh-session numbers for complex-codegen plans).
 
 Prints one JSON line: {"k": K, "rows": {...}, "queries": {name: sec}}.
 """
@@ -339,8 +343,18 @@ def main() -> int:
     from ingestion_pipeline_spark.plans import query_map
     from ingestion_pipeline_spark.session import get_spark
 
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    argv = sys.argv[1:]
+    # --warmup: before TIMING each query, run it once UNTIMED at the
+    # tiny sf0.001 fixture in the same session. Complex-codegen plans
+    # carry a one-time first-in-session plan-compile cost (~7.5 s for
+    # tx_boilerplate_prune even at 500 docs — SCALE.md round-8
+    # addendum), so a single-run fresh-session smoke without warm-up
+    # measures cold compile + run, not the operator. Opt-in so
+    # historical single-run numbers stay comparable.
+    warmup = "--warmup" in argv
+    argv = [a for a in argv if a != "--warmup"]
+    k = int(argv[0]) if argv else 10
+    names = argv[1:] or DEFAULT_QUERIES
     # SPARK_GRAFT_SCALE_DIR: reuse a pre-built replica (skip the
     # ~10-min 100x build and the exit-time delete) — for iterating on
     # individual queries against one kept replica.
@@ -363,6 +377,10 @@ def main() -> int:
     failures = 0
     for name in names:
         try:
+            if warmup:
+                qs[name](spark, "/root/testdata/sf0.001").write.format(
+                    "noop"
+                ).mode("overwrite").save()
             t0 = time.perf_counter()
             qs[name](spark, out_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 2)
