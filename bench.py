@@ -17,6 +17,14 @@ cold-start), and the new detail file carries a ``vs_prior`` block —
 common-subset wall and median per-query ratio against the previous
 committed bench_detail.json — so the ±10-15% session drift is
 quantified per run instead of re-litigated per verdict.
+
+Environment fingerprint (VERDICT r9 #3): a fixed deterministic probe
+(seeded in-memory aggregate + one small shuffle, no IO) is timed at
+suite start and end — ``env_probe_sec`` in the detail file — and
+``vs_prior`` carries a probe-normalized median ratio, so a
+driver-to-driver wall comparison separates code drift from machine
+drift in one field (r8's 156.9-vs-116.6 s scare was pure ambient
+drift and took three full bench re-runs to adjudicate).
 """
 
 from __future__ import annotations
@@ -31,7 +39,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 
-def _fresh_minima(names: list[str], sf_dir: str, repo_dir: str) -> dict[str, float]:
+def _fresh_minima(
+    names: list[str], sf_dir: str, repo_dir: str
+) -> "dict[str, float | str]":
     """Fresh-subprocess standalone re-run of >1.5x movers (VERDICT r7
     #4): every round spent prose adjudicating whether a mover was a
     real regression or long-session JVM/scheduling pressure — the
@@ -40,10 +50,18 @@ def _fresh_minima(names: list[str], sf_dir: str, repo_dir: str) -> dict[str, flo
     warm standalone cost), so bench_detail.json carries the
     fresh-session number next to the in-suite one. Capped at 8
     subprocesses per run — more movers than that is session-level
-    drift, not per-query regressions."""
+    drift, not per-query regressions.
+
+    Caveats (ADVICE r8): the parent bench JVM (heap + cached executor
+    threads) stays RESIDENT while the subprocess runs, so fresh_min is
+    measured under memory/CPU contention and can overstate a mover's
+    true standalone cost — read it as an upper bound (the env-probe
+    ratio in the same detail block quantifies the ambient state). A
+    failed adjudication is now recorded as a ``"failed:..."`` marker,
+    never silently dropped."""
     import subprocess
 
-    out: dict[str, float] = {}
+    out: dict[str, float | str] = {}
     for name in names[:8]:
         script = (
             "import sys,time\n"
@@ -68,12 +86,50 @@ def _fresh_minima(names: list[str], sf_dir: str, repo_dir: str) -> dict[str, flo
                 text=True,
                 timeout=300,
             )
+            got = None
             for line in r.stdout.splitlines():
                 if line.startswith("FRESHMIN:"):
-                    out[name] = float(line.split(":", 1)[1])
-        except Exception:  # noqa: BLE001 — adjudication must never fail a bench
-            pass
+                    got = float(line.split(":", 1)[1])
+            if got is not None:
+                out[name] = got
+            else:
+                out[name] = f"failed:rc{r.returncode}"
+        except subprocess.TimeoutExpired:
+            out[name] = "failed:timeout"
+        except Exception as exc:  # noqa: BLE001 — adjudication must never fail a bench
+            out[name] = f"failed:{type(exc).__name__}"
     return out
+
+
+def _env_probe(spark, n_runs: int = 3) -> float:
+    """Fixed deterministic environment probe (VERDICT r8 #2 / r9 #3):
+    a seeded in-memory aggregate + one small shuffle — no IO, no
+    Python UDF, code that never changes — so its wall time measures
+    the MACHINE + JVM state, not the engine. Timed at suite start and
+    end and recorded in bench_detail.json as ``env_probe_sec``;
+    ``vs_prior`` carries a probe-normalized median ratio so a
+    driver-to-driver total comparison starts ambient-drift-corrected
+    (the r8 156.9-vs-116.6 s scare was pure machine drift and took
+    three full bench re-runs to adjudicate). Best-of-``n_runs`` —
+    the minimum is the least-contended estimate of machine speed."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 8_000_000, 1, 16)
+            .select(
+                ((F.col("id") * 2654435761) % 1048576).alias("k"),
+                (F.col("id") % 97).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+            .agg(F.sum("s").alias("ts"), F.sum("c").alias("tc"))
+            .collect()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -100,6 +156,7 @@ def main() -> None:
     sidecar_path = detail_path.replace(".json", f"_sf{sf}.json")
     prior_times: dict[str, float] = {}
     prior_sf = None
+    prior_probe = None
     for src in (detail_path, sidecar_path):
         try:
             with open(src) as fh:
@@ -109,6 +166,7 @@ def main() -> None:
         if prior.get("sf") == sf:
             prior_times = dict(prior.get("queries", {}))
             prior_sf = sf
+            prior_probe = (prior.get("env_probe_sec") or {}).get("min")
             break
 
     # Session warmup: JVM + parquet footer caches, one tiny action.
@@ -128,6 +186,9 @@ def main() -> None:
                 pass
     print("# warm-up done (untimed: q1_pricing_summary, v_cosine_top8)",
           file=sys.stderr)
+
+    probe_start = _env_probe(spark)
+    print(f"# env probe (start): {probe_start}s", file=sys.stderr)
 
     times: dict[str, float] = {}
     # name -> [min, median, max, n_runs] — the variance record VERDICT
@@ -208,6 +269,9 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — hygiene must never fail a bench
                 pass
 
+    probe_end = _env_probe(spark)
+    print(f"# env probe (end): {probe_end}s", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     # Twin split (VERDICT r5 #6): documented reference twins are correct
     # but deliberately not the production path — their (known, accepted)
@@ -229,6 +293,13 @@ def main() -> None:
         "queries": times,
         "spread": spread,
         "sf": sf,
+        # machine-state fingerprint (VERDICT r9 #3): fixed probe timed
+        # at suite start and end; min is the least-contended estimate
+        "env_probe_sec": {
+            "start": probe_start,
+            "end": probe_end,
+            "min": min(probe_start, probe_end),
+        },
     }
     # vs_prior (VERDICT r6 #2c): quantify session drift against the
     # previous committed detail file over the COMMON query subset, so a
@@ -262,6 +333,17 @@ def main() -> None:
                 # millisecond jitter doesn't flag), for adjudication
                 "regressions_gt_1p5x": movers,
             }
+            # probe normalization (VERDICT r9 #3): divide out the
+            # machine-speed change the fixed probe measured, so the
+            # normalized median isolates CODE drift from ambient drift
+            if prior_probe:
+                probe_ratio = round(
+                    min(probe_start, probe_end) / prior_probe, 3
+                )
+                detail["vs_prior"]["probe_ratio"] = probe_ratio
+                detail["vs_prior"]["median_ratio_probe_normalized"] = round(
+                    med_ratio / probe_ratio, 3
+                )
             # Automatic fresh-session adjudication (VERDICT r7 #4):
             # each mover re-runs standalone in its own subprocess;
             # entries become [prior, in_suite, fresh_min].
@@ -307,6 +389,11 @@ def main() -> None:
         # one number for round-over-round drift; detail in vs_prior
         "vs_prior_median_ratio": detail.get("vs_prior", {}).get(
             "median_ratio"
+        ),
+        # machine fingerprint + drift-corrected ratio (VERDICT r9 #3)
+        "env_probe_sec": min(probe_start, probe_end),
+        "vs_prior_median_ratio_probe_norm": detail.get("vs_prior", {}).get(
+            "median_ratio_probe_normalized"
         ),
         # keep the contract's "queries" key but bounded (3 slowest) so the
         # line always fits the driver's tail window; full map in

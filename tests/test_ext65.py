@@ -14,7 +14,7 @@ import pytest
 
 from ingestion_pipeline_spark.plans import query_map
 
-_WORD = re.compile(r"\s+")
+_WORD = re.compile(r"\s+", re.ASCII)  # Java/RE2 \s parity (ADVICE r8)
 
 
 def _tokens(text: str) -> list[str]:
@@ -133,13 +133,17 @@ def test_minhash_calibration_recompute(spark, sf_dir, docs):
     assert len(samp_pairs) <= n_bucket_slots
 
 
-def test_dedup_cascade_recompute(spark, sf_dir, docs):
-    rows = {
-        r["stage"]: r
-        for r in query_map()["pipeline_dedup_cascade"](spark, sf_dir).collect()
-    }
-    assert set(rows) == {"exact", "near_dup"}
-    n0 = len(docs)
+def _cascade_recompute(docs):
+    """Independent pure-Python recompute of the full cascade semantics:
+    exact keep-min-id, hot-bucket-GUARDED banded enumeration
+    (VERDICT r8 #1), per-doc verify budget, and all three censuses.
+    Returns (exact_survivor_ids, drops, n_guarded, over_budget,
+    over_budget_undropped)."""
+    from ingestion_pipeline_spark.plans.registry_ext65 import (
+        _ENUM_CAP,
+        _VERIFY_K,
+    )
+
     # stage 1: keep min doc_id per normalized-content hash
     norm = lambda t: re.sub(r"\s+", " ", (t or "").strip().lower())  # noqa: E731
     keep: dict[str, int] = {}
@@ -147,43 +151,183 @@ def test_dedup_cascade_recompute(spark, sf_dir, docs):
         h = hashlib.md5(norm(t).encode()).hexdigest()
         keep[h] = min(keep.get(h, d), d)
     survivors = set(keep.values())
+    # stage 2: banded buckets over the md5 signatures of the survivors
+    shs = {d: _shingles(t) for d, t in docs if d in survivors}
+    sigs = {d: _minhash8(shs[d]) for d in shs}
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for d in sorted(sigs):
+        sa = sigs[d]
+        if sa is None:
+            continue
+        for band in range(4):
+            buckets.setdefault(
+                (band, sa[2 * band] + sa[2 * band + 1]), []
+            ).append(d)
+    # guarded enumeration: small buckets emit all C(k,2) pairs, hot
+    # buckets only (min, other); nb = number of enumerating buckets
+    nb_count: dict[tuple[int, int], int] = {}
+    n_guarded = 0
+    for members in buckets.values():
+        ms = sorted(members)
+        k = len(ms)
+        if k > _ENUM_CAP:
+            n_guarded += 1
+            pairs = [(ms[0], d) for d in ms[1:]]
+        else:
+            pairs = [(a, b) for i, a in enumerate(ms) for b in ms[i + 1 :]]
+        for p in pairs:
+            nb_count[p] = nb_count.get(p, 0) + 1
+    cands: dict[int, list[tuple[int, int]]] = {}
+    for (a, b), nb in nb_count.items():
+        cands.setdefault(b, []).append((-nb, a))
+    drops: set[int] = set()
+    over_budget = 0
+    over_undropped = 0
+    for b, lst in cands.items():
+        lst.sort()
+        for _negnb, a in lst[:_VERIFY_K]:
+            inter = len(shs[a] & shs[b])
+            union = len(shs[a] | shs[b])
+            if union and inter * 10000 // union >= 5000:
+                drops.add(b)
+                break
+        if len(lst) > _VERIFY_K:
+            over_budget += 1
+            if b not in drops:
+                over_undropped += 1
+    return survivors, drops, n_guarded, over_budget, over_undropped
+
+
+def test_dedup_cascade_recompute(spark, sf_dir, docs):
+    rows = {
+        r["stage"]: r
+        for r in query_map()["pipeline_dedup_cascade"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"exact", "near_dup"}
+    n0 = len(docs)
+    survivors, drops, n_guarded, over_budget, over_undropped = (
+        _cascade_recompute(docs)
+    )
     ex = rows["exact"]
     assert (ex["docs_in"], ex["docs_out"]) == (n0, len(survivors))
     assert ex["removed"] == n0 - len(survivors)
     assert ex["over_budget_docs"] == 0
-    # stage 2: md5-LSH candidates among survivors ranked per doc by
-    # shared-band count (desc, id_a tie-break); verify only the top
-    # _VERIFY_K; drop the higher id on exact J >= 0.5
-    from ingestion_pipeline_spark.plans.registry_ext65 import _VERIFY_K
-
-    shs = {d: _shingles(t) for d, t in docs if d in survivors}
-    sigs = {d: _minhash8(shs[d]) for d in shs}
-    ids = sorted(d for d in sigs if sigs[d] is not None)
-    cands: dict[int, list[tuple[int, int]]] = {}
-    for i, a in enumerate(ids):
-        for b in ids[i + 1 :]:
-            sa, sb = sigs[a], sigs[b]
-            nb = sum(
-                sa[2 * k] == sb[2 * k] and sa[2 * k + 1] == sb[2 * k + 1]
-                for k in range(4)
-            )
-            if nb:
-                cands.setdefault(b, []).append((-nb, a))
-    drops = set()
-    over_budget = 0
-    for b, lst in cands.items():
-        lst.sort()
-        if len(lst) > _VERIFY_K:
-            over_budget += 1
-        for _negnb, a in lst[:_VERIFY_K]:
-            inter = len(shs[a] & shs[b])
-            union = len(shs[a] | shs[b])
-            if inter * 10000 // union >= 5000:
-                drops.add(b)
-                break
+    assert ex["guarded_buckets"] == 0
+    assert ex["over_budget_undropped"] == 0
     nd = rows["near_dup"]
     assert (nd["docs_in"], nd["removed"]) == (len(survivors), len(drops))
     assert nd["docs_out"] == len(survivors) - len(drops)
     assert nd["over_budget_docs"] == over_budget
+    assert nd["guarded_buckets"] == n_guarded
+    assert nd["over_budget_undropped"] == over_undropped
     # accounting chain
     assert ex["docs_out"] == nd["docs_in"]
+
+
+def test_dedup_survivors_recompute(spark, sf_dir, docs):
+    """pipeline_dedup_survivors = exact-stage keep set minus the
+    near-stage drops, carrying (source, n_chars) from documents."""
+    import duckdb
+
+    survivors, drops, *_ = _cascade_recompute(docs)
+    want_ids = survivors - drops
+    rows = query_map()["pipeline_dedup_survivors"](spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rows} == want_ids
+    assert len(rows) == len(want_ids)
+    meta = dict(
+        (r[0], (r[1], r[2]))
+        for r in duckdb.connect()
+        .execute(
+            f"SELECT doc_id, source, n_chars FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        .fetchall()
+    )
+    for r in rows:
+        assert (r["source"], r["n_chars"]) == meta[r["doc_id"]]
+
+
+def test_cascade_hot_bucket_guard_binds(spark, tmp_path):
+    """Synthetic hot-bucket fixture (VERDICT r8 #1 'done' condition):
+    a >_ENUM_CAP near-dup family that collapses into ONE (band,bucket)
+    per band. The guard must (a) actually bind — the unguarded
+    enumeration is Sigma C(k,2), the guarded one k-1 per hot bucket —
+    (b) census the guarded buckets exactly, and (c) still drop every
+    non-canonical family member (each pairs against the family min).
+    The Spark result is also differentialed against the DuckDB oracle
+    ON THIS corpus, so the guarded SQL/DataFrame parity is proven where
+    the guard binds, not just where it's dormant."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ingestion_pipeline_spark.plans import REGISTRY
+    from ingestion_pipeline_spark.plans.registry_ext65 import _ENUM_CAP
+
+    base = " ".join(f"w{i}" for i in range(200))
+    fam = _ENUM_CAP + 16  # 40-doc family: hot in every band
+    texts = [f"{base} uniq{i}" for i in range(fam)]
+    # unrelated fillers (no shared 3-grams with the family or each other)
+    texts += [
+        " ".join(f"f{j}x{i}" for j in range(30)) for i in range(10)
+    ]
+    # an exact-dup pair to exercise stage 1 on this corpus too
+    texts += [texts[0], "  " + texts[0] + "  "]
+    docs = [(i + 1, t) for i, t in enumerate(texts)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(
+                [f"s{d % 3}" for d, _ in docs], pa.string()
+            ),
+            "n_chars": pa.array(
+                [len(t) for _, t in docs], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    sf_dir = str(tmp_path)
+
+    survivors, drops, n_guarded, over_budget, over_undropped = (
+        _cascade_recompute(docs)
+    )
+    # the fixture is only valid if the guard BINDS: at least one hot
+    # bucket, and the family min must carry every family member as a
+    # candidate (guarded fan-out k-1), never C(k,2) family pairs
+    assert n_guarded >= 1
+    # family docs minus the min are all dropped (J≈0.99 vs the min)
+    fam_ids = set(range(1, fam + 1))
+    assert fam_ids - {1} <= drops
+    # fillers survive untouched; exact dups went at stage 1
+    assert survivors - drops >= {1, fam + 1}
+
+    got = {
+        r["stage"]: r.asDict()
+        for r in REGISTRY["pipeline_dedup_cascade"].spark(spark, sf_dir).collect()
+    }
+    nd = got["near_dup"]
+    assert nd["guarded_buckets"] == n_guarded
+    assert nd["removed"] == len(drops)
+    assert nd["docs_in"] == len(survivors)
+    assert nd["over_budget_docs"] == over_budget
+    assert nd["over_budget_undropped"] == over_undropped
+    # survivors query agrees on the same corpus
+    sv = REGISTRY["pipeline_dedup_survivors"].spark(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in sv} == survivors - drops
+    # DuckDB oracle differential on the synthetic corpus (both queries)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {r[0]: r for r in con.execute(
+        REGISTRY["pipeline_dedup_cascade"].sql
+    ).fetchall()}
+    for stage, row in got.items():
+        assert tuple(row.values()) == want[stage], (stage, row, want[stage])
+    want_sv = {r[0] for r in con.execute(
+        REGISTRY["pipeline_dedup_survivors"].sql
+    ).fetchall()}
+    assert {r["doc_id"] for r in sv} == want_sv

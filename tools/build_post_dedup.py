@@ -64,77 +64,14 @@ def embedding_survivors(spark, base: str):
 
 
 def document_survivors(spark, base: str):
-    """Cascade survivor ids — registry_ext65.pipeline_dedup_cascade's
-    drop rule, keeping the rows it counts."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    """Cascade survivor rows — the registry's own shared plan
+    (registry_ext65.cascade_frames, round 9): the SAME definition the
+    attrition report and pipeline_dedup_survivors run, so the tool can
+    never drift from the queries it mirrors (it used to duplicate the
+    plan; tests/test_post_dedup_tool.py pins the equality either way)."""
+    from ingestion_pipeline_spark.plans.registry_ext65 import cascade_frames
 
-    from ingestion_pipeline_spark.operators.dedup import (
-        jaccard3_bp,
-        minhash_md5_slots,
-    )
-    from ingestion_pipeline_spark.operators.relational import spread
-    from ingestion_pipeline_spark.plans.registry_ext65 import (
-        _N_BANDS,
-        _N_HASHES,
-        _NEAR_BP,
-        _VERIFY_K,
-    )
-
-    docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
-    norm = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
-    s1 = docs.groupBy(norm.alias("__h")).agg(F.min("doc_id").alias("doc_id"))
-    d1 = docs.join(s1.select("doc_id"), "doc_id")
-
-    mh8 = minhash_md5_slots(_N_HASHES)
-    sig = (
-        spread(d1.select("doc_id", "text"), min_partitions=8)
-        .select("doc_id", "text", mh8(F.col("text")).alias("__mh"))
-        .select(
-            "doc_id",
-            "text",
-            *[F.col("__mh").getItem(i).alias(f"mh_{i}") for i in range(_N_HASHES)],
-        )
-        .filter(F.col("mh_0").isNotNull())
-        .persist()
-    )
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat(F.col(f"mh_{2 * b}"), F.col(f"mh_{2 * b + 1}"))
-                    for b in range(_N_BANDS)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
-    left, right = bands.alias("l"), bands.alias("r")
-    pnb = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("nb"))
-    )
-    ranked = pnb.withColumn(
-        "rk",
-        F.row_number().over(Window.partitionBy("id_b").orderBy(F.desc("nb"), "id_a")),
-    )
-    jac = jaccard3_bp(3)
-    drops = (
-        ranked.filter(F.col("rk") <= _VERIFY_K)
-        .join(sig.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")), "id_a")
-        .join(sig.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")), "id_b")
-        .filter(jac(F.col("ta"), F.col("tb")) >= _NEAR_BP)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
-    return docs.join(s1.select("doc_id"), "doc_id").join(drops, "doc_id", "left_anti")
+    return cascade_frames(spark, base)["survivors"]
 
 
 def main() -> int:
