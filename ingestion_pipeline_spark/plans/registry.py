@@ -100,56 +100,56 @@ def register(name: str, sql: Optional[str], doc: str):
 # the genuinely non-SQL-expressible entries (approximate ANN / sketch
 # ops, graded rows-only) last.
 GRADED_WINDOW = [
-    "d_minhash_jaccard_calibration",
     "pipeline_dedup_cascade",
-    "d_minhash_lsh_md5_pairs",
-    "pipeline_corpus_stats",
-    "pipeline_shard_manifest",
-    "s_quality_classifier",
-    "t_inverted_index",
-    "t_tfidf_topk",
-    "tx_dedup_chunks_rebuild",
-    "tx_unicode_normalize",
-    "v_matryoshka_prefix_topk",
-    "v_mmr_rerank",
-    "v_sign_hamming_topk",
-    "w_zscore_anomalies",
-    "d_containment_pairs",
-    "d_dup_clusters",
-    "j_point_in_time_enrich",
-    "s_pyds_nvd_scan",
-    "t_bm25_keyword_topk",
-    "v_hybrid_rrf_fusion",
-    "v_kmeans_clusters",
-    "w_time_weighted_avg",
-    "w_running_user_value",
-    "tx_quality_scores",
-    "q15_top_supplier",
-    "q19_flexible_or",
-    "q7_nation_trade",
-    "rag_answer_end_to_end",
-    "tx_bpe_merges",
-    "d_contamination_5gram",
-    "g_triangle_counts",
-    "tx_gopher_quality_flags",
-    "tx_repetition_ratio",
-    "w_cohort_retention",
-    "w_funnel_conversion",
-    "d_stratified_sample",
-    "g_pivot_returnflag",
-    "j_price_band_join",
-    "q11_top_brand_value",
-    "q12_priority_by_returnflag",
-    "q13_order_count_distribution",
-    "q16_supplier_count_by_part",
-    "q17_small_quantity_revenue",
-    "q20_heavy_suppliers",
-    "q21_sole_blocking_supplier",
-    "q22_rich_quiet_customers",
-    "q2_cheapest_part_per_type",
-    "q8_market_share",
-    "tx_fingerprints",
-    "tx_topk_bigrams",
+    "pipeline_dedup_survivors",
+    "v_quantize_int8",
+    "w_rank_family",
+    "d_keep_one_per_cluster",
+    "d_semantic_dedup",
+    "g_salted_collect_docs",
+    "j_salted_brand_revenue",
+    "pipeline_pack_sequences",
+    "pipeline_token_budget_select",
+    "tx_unigram_surprisal",
+    "tx_vocab_build",
+    "d_bloom_novel_docs",
+    "e_multiset_priorities",
+    "p_map_entries",
+    "tx_redact_pii",
+    "w_click_purchase_attribution",
+    "w_scd2_user_state",
+    "w_sliding_window_counts",
+    "x_udtf_cve_refs",
+    "e_rag_verdicts",
+    "g_rollup_orders",
+    "q10_returned_revenue",
+    "s_confidence_scores",
+    "e_sources_except",
+    "g_cube_orders",
+    "q14_promo_share",
+    "q6_revenue_delta",
+    "t_price_percentiles",
+    "tx_token_counts",
+    "w_moving_avg_value",
+    "w_value_delta",
+    "p_embed_text_template",
+    "p_query_rewrite",
+    "g_histogram_totalprice",
+    "tx_bpe_tokenize_fold",
+    "d_duplicate_spans",
+    "d_span_dup_pairs",
+    "dq_numeric_profile",
+    "g_yoy_customer_growth",
+    "w_trailing_hour_value",
+    "d_personalized_pagerank",
+    "v_chunk_sum_pool",
+    "d_dataset_split",
+    "d_domain_mixture",
+    "d_incremental_novel_docs",
+    "g_unpivot_pricing",
+    "mm_ahash_dup_groups",
+    "t_global_dense_ids",
+    "tx_c4_sentence_filter",
 ]
 
 
