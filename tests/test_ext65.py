@@ -247,6 +247,78 @@ def test_dedup_survivors_recompute(spark, sf_dir, docs):
         assert (r["source"], r["n_chars"]) == meta[r["doc_id"]]
 
 
+def test_cascade_verify_budget_census_binds(spark, tmp_path):
+    """Synthetic over-budget fixture: the over_budget_docs /
+    over_budget_undropped censuses have only ever been oracle-gated at
+    values where they're ZERO (the driver fixtures carry no doc with
+    >_VERIFY_K candidates); the 100× replica exercises the nonzero
+    path Spark-side only. This corpus makes the budget BIND below the
+    enumeration guard: 24 docs share a 95-word header with unique
+    52-word bodies, so every pair sits at exact 3-gram J = 4720 bp —
+    candidates everywhere (band buckets of ~11-13 docs, all under the
+    24-doc guard), but nothing qualifies at >= 5000, so every
+    over-budget doc is also undropped. Spark vs recompute vs DuckDB
+    oracle, all three legs."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ingestion_pipeline_spark.plans import REGISTRY
+    from ingestion_pipeline_spark.plans.registry_ext65 import _VERIFY_K
+
+    header = " ".join(f"h{i}" for i in range(95))
+    docs = [
+        (i + 1, f"{header} " + " ".join(f"b{i}x{j}" for j in range(52)))
+        for i in range(24)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s0"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    sf_dir = str(tmp_path)
+
+    survivors, drops, n_guarded, over_budget, over_undropped = (
+        _cascade_recompute(docs)
+    )
+    # fixture validity: the budget must BIND, the guard must NOT, and
+    # no pair may qualify (so over-budget docs are all undropped)
+    assert over_budget > 0
+    assert n_guarded == 0
+    assert not drops
+    assert over_undropped == over_budget
+    assert survivors == {d for d, _ in docs}
+
+    got = {
+        r["stage"]: r.asDict()
+        for r in REGISTRY["pipeline_dedup_cascade"].spark(spark, sf_dir).collect()
+    }
+    nd = got["near_dup"]
+    assert nd["over_budget_docs"] == over_budget
+    assert nd["over_budget_undropped"] == over_undropped
+    assert nd["removed"] == 0 and nd["guarded_buckets"] == 0
+    # every over-budget doc really does hold > K candidates (law check
+    # against the plan's own ranked frame is implicit: rk == K+1 rows
+    # exist iff the python candidate lists exceed K — already asserted
+    # by the census equality above)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {r[0]: r for r in con.execute(
+        REGISTRY["pipeline_dedup_cascade"].sql
+    ).fetchall()}
+    for stage, row in got.items():
+        assert tuple(row.values()) == want[stage], (stage, row, want[stage])
+    assert _VERIFY_K == 8  # the fixture's arithmetic assumes the budget
+
+
 def test_cascade_hot_bucket_guard_binds(spark, tmp_path):
     """Synthetic hot-bucket fixture (VERDICT r8 #1 'done' condition):
     a >_ENUM_CAP near-dup family that collapses into ONE (band,bucket)
