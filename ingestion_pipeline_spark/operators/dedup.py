@@ -168,11 +168,16 @@ def minhash_md5_slots(n_hashes: int = 8, n: int = 3):
     from pyspark.sql.types import ArrayType, StringType
 
     salts = [f"{i}|".encode() for i in range(n_hashes)]
-    # re.ASCII: Python's \s is Unicode-aware (U+00A0 etc.) while the
-    # Java-regex/RE2 \s the Spark and DuckDB sides of this value-gated
-    # family use is ASCII-only — compile the splitter to exactly
-    # [ \t\n\r\f\v] so non-ASCII whitespace can never silently diverge
-    # the kernel from the oracle (ADVICE r8).
+    # re.ASCII: Python's \s is Unicode-aware (U+00A0 etc.); with
+    # re.ASCII it is exactly [ \t\n\r\f\v] — byte-for-byte the JAVA
+    # regex \s ([ \t\n\x0B\f\r]) the Spark expression variants split
+    # on, so kernel-vs-JVM parity is exact (ADVICE r8). Known residual
+    # (ADVICE r9): RE2 — DuckDB's string_split_regex — defines \s as
+    # [\t\n\f\r ] WITHOUT vertical tab, so a doc containing U+000B
+    # tokenizes differently kernel-vs-oracle. No single class matches
+    # both engines; we keep Java/Python agreement (the production
+    # pair) and note that \v never appears in the ASCII fixtures — the
+    # bounds harness asserts the domain premise it depends on.
     ws = re.compile(r"\s+", re.ASCII)
 
     @pandas_udf(ArrayType(StringType()))
@@ -233,7 +238,8 @@ def jaccard3_bp(n: int = 3):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
-    # re.ASCII for Java-regex/RE2 \s parity — see minhash_md5_slots
+    # re.ASCII for Java-regex \s parity; \v residual vs RE2 — see
+    # minhash_md5_slots
     ws = re.compile(r"\s+", re.ASCII)
 
     @pandas_udf(LongType())

@@ -225,7 +225,8 @@ def check_minhash_candidates(con, srows) -> list[str]:
     import re
 
     texts = dict(con.execute("SELECT doc_id, text FROM documents").fetchall())
-    ws = re.compile(r"\s+", re.ASCII)  # Java/RE2 \s parity (ADVICE r8)
+    # Java \s parity; RE2 lacks \v — see operators/dedup.py (ADVICE r9)
+    ws = re.compile(r"\s+", re.ASCII)
     gcache: dict[int, frozenset] = {}
 
     def grams(d):
@@ -248,8 +249,22 @@ def check_minhash_candidates(con, srows) -> list[str]:
     # reference EXCLUDES those docs (WHERE mh_0 IS NOT NULL). With k
     # short docs the xx set carries C(k,2) pairs the reference can
     # never contain — drop both-short pairs before the size comparison
-    # so the two sets cover the same doc domain. (One-short pairs can't
-    # arise: an all-zero bucket never matches a real digest bucket.)
+    # so the two sets cover the same doc domain. One-short pairs can't
+    # arise — an all-zero bucket never matches a real digest bucket —
+    # but that premise leans on the xxhash path's short-doc criterion
+    # staying the \s-ASCII 3-token rule grams() uses, so ASSERT it
+    # instead of assuming it (ADVICE r9): any one-short pair means the
+    # two criteria drifted and the domain alignment is silently wrong.
+    one_short = [
+        p for p in pairs if bool(grams(p[0])) != bool(grams(p[1]))
+    ]
+    if one_short:
+        viol.append(
+            f"{len(one_short)} one-short candidate pairs (an all-zero "
+            f"signature bucket matched a real digest bucket — the "
+            f"short-doc criteria of the xxhash path and grams() have "
+            f"drifted), e.g. {one_short[:3]}"
+        )
     pairs_cmp = {
         p for p in pairs if grams(p[0]) or grams(p[1])
     }

@@ -438,13 +438,27 @@ def cascade_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                     enumeration the _ENUM_CAP guard bounded)
     - ``ob``        1-row census: n_over (docs holding more candidates
                     than the _VERIFY_K verify budget)
-    - ``drops``     near-stage dropped doc ids
+    - ``edges``     VERIFIED near-dup pairs (id_a, id_b): in-budget
+                    candidates whose exact 3-gram Jaccard qualifies —
+                    the edge list the capped cluster query
+                    (``d_dup_clusters_capped``) components over
+    - ``drops``     near-stage dropped doc ids (= distinct id_b of
+                    ``edges`` — derived, so drop and edge semantics
+                    can never drift)
     - ``obu``       1-row census: n_over_undropped (over-budget docs
                     NOT dropped — the potential under-drop exposure:
                     their candidate list was truncated and nothing in
                     the top-K qualified, so a qualifying partner could
                     hide in the untested tail; ADVICE r8)
     - ``survivors`` full documents rows surviving both stages
+
+    Persist contract (ADVICE r9): ``sig``/``bk``/``ranked`` stay
+    cached until the session drops them — registry consumers rely on
+    the bench/driver per-query ``clearCache()`` hygiene, but a caller
+    running several cascade consumers in ONE session (each call
+    re-persists its own copies, including the text-bearing ``sig``)
+    must call :func:`unpersist_cascade` (or ``clearCache()``) between
+    calls or the duplicate cached blocks accumulate.
     """
     from ..operators.dedup import jaccard3_bp, minhash_md5_slots
     from ..operators.relational import spread
@@ -536,7 +550,10 @@ def cascade_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.count("*").cast("long").alias("n_over")
     )
     jac = jaccard3_bp(3)
-    drops = (
+    # verified near-dup EDGES: in-budget candidates whose exact Jaccard
+    # qualifies — the drop rule AND the capped cluster graph both read
+    # this one definition
+    edges = (
         ranked.filter(F.col("rk") <= _VERIFY_K)
         .join(
             sig.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")),
@@ -547,9 +564,9 @@ def cascade_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             "id_b",
         )
         .filter(jac(F.col("ta"), F.col("tb")) >= _NEAR_BP)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
+        .select("id_a", "id_b")
     )
+    drops = edges.select(F.col("id_b").alias("doc_id")).distinct()
     # under-drop exposure census: over-budget docs that were NOT
     # dropped (rename both sides — same-lineage join keys can collapse
     # to one attribute and silently drop the condition otherwise)
@@ -569,13 +586,35 @@ def cascade_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {
         "docs": docs,
         "s1": s1,
+        "sig": sig,
+        "bk": bk,
         "ranked": ranked,
         "guarded": guarded,
         "ob": ob,
+        "edges": edges,
         "drops": drops,
         "obu": obu,
         "survivors": survivors,
     }
+
+
+def unpersist_cascade(frames: dict[str, DataFrame]) -> None:
+    """Release the blocks ``cascade_frames()`` persisted (ADVICE r9).
+
+    One-shot consumers that materialize a cascade frame eagerly
+    (``tools/build_post_dedup.py``, the verify-budget audit) call this
+    after their action; registry query paths leave it to the
+    bench/driver per-query ``clearCache()`` hygiene because their
+    DataFrames are returned lazy (unpersisting before execution would
+    forfeit the shared-scan reuse the plan is built around).
+    """
+    for key in ("sig", "bk", "ranked"):
+        df = frames.get(key)
+        if df is not None:
+            try:
+                df.unpersist(False)
+            except Exception:  # noqa: BLE001 — cleanup must never fail a caller
+                pass
 
 
 # shared oracle CTE block: exact stage + signatures + guarded banded
@@ -761,3 +800,90 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     fr = cascade_frames(spark, sf_dir)
     return fr["survivors"].select("doc_id", "source", "n_chars")
+
+
+@register(
+    "d_dup_clusters_capped",
+    f"""
+    WITH RECURSIVE {_CASCADE_SQL_CTES},
+    ed AS (
+        SELECT r.id_a, r.id_b
+        FROM rk r
+        JOIN sig a ON a.doc_id = r.id_a
+        JOIN sig b ON b.doc_id = r.id_b
+        WHERE r.rk <= {_VERIFY_K}
+          AND CAST(len(list_intersect(a.sh, b.sh)) * 10000 AS BIGINT)
+              // CAST(len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh)) AS BIGINT)
+              >= {_NEAR_BP}
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM ed
+        UNION
+        SELECT id_b AS u, id_a AS v FROM ed
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ),
+    exc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS excluded_pairs FROM rk
+        WHERE rk > {_VERIFY_K}
+    )
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+           exc.excluded_pairs, g.n_guarded AS guarded_buckets
+    FROM d1 d
+    LEFT JOIN comp c ON d.doc_id = c.u
+    CROSS JOIN exc CROSS JOIN gb g
+    """,
+    "The PRODUCTION form of near-dup cluster assignment (VERDICT r9 "
+    "#4): connected components over the dedup cascade's VERIFIED edge "
+    "list — LSH-banded candidates after the hot-bucket enumeration "
+    "guard, per-doc verify budget (top-" f"{_VERIFY_K}" " by shared-"
+    "band count), and exact 3-gram-Jaccard >= 0.5 qualification — "
+    "instead of d_dup_clusters' exact all-co-shingled-pairs audit "
+    "(quadratic in sub-threshold co-shingle family size: 370 s at "
+    "100x even post-dedup). Built from the SAME cascade_frames() plan "
+    "as the attrition report and survivor set (one shared edge "
+    "definition — the drop rule is DERIVED from these edges, zero "
+    "drift), then min-label propagation (operators/graph.py, "
+    "O(diameter) rounds, one shuffle per round) assigns every "
+    "exact-stage survivor its cluster representative; untouched docs "
+    "are singletons. What the caps exclude is censused, never silent: "
+    "excluded_pairs = candidate pairs past the verify budget (never "
+    "verified, so never edges) and guarded_buckets = hot (band,"
+    "bucket)s whose enumeration the _ENUM_CAP guard bounded. The "
+    "oracle recomputes the same components via recursive-CTE "
+    "transitive closure over the same edge rule, so the whole "
+    "banding -> budget -> verify -> clusters path is value-gated. At "
+    "100 TB the edge list is <= " f"{_VERIFY_K}" " x docs by "
+    "construction (budget-bounded), so the component step rides "
+    "skinny id-pair shuffles — the inherently-quadratic exact audit "
+    "stays a documented diagnostic (d_dup_clusters docstring).",
+)
+def d_dup_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dup_clusters
+
+    fr = cascade_frames(spark, sf_dir)
+    d1_ids = fr["docs"].join(fr["s1"].select("doc_id"), "doc_id").select(
+        "doc_id"
+    )
+    assigned = dup_clusters(d1_ids, fr["edges"], "doc_id")
+    exc = fr["ranked"].filter(F.col("rk") > _VERIFY_K).agg(
+        F.count("*").cast("long").alias("excluded_pairs")
+    )
+    return (
+        assigned.crossJoin(F.broadcast(exc))
+        .crossJoin(
+            F.broadcast(
+                fr["guarded"].select(
+                    F.col("n_guarded_buckets").alias("guarded_buckets")
+                )
+            )
+        )
+        .select("doc_id", "component", "excluded_pairs", "guarded_buckets")
+    )

@@ -133,12 +133,14 @@ def test_minhash_calibration_recompute(spark, sf_dir, docs):
     assert len(samp_pairs) <= n_bucket_slots
 
 
-def _cascade_recompute(docs):
+def _cascade_recompute(docs, return_cands=False):
     """Independent pure-Python recompute of the full cascade semantics:
     exact keep-min-id, hot-bucket-GUARDED banded enumeration
     (VERDICT r8 #1), per-doc verify budget, and all three censuses.
     Returns (exact_survivor_ids, drops, n_guarded, over_budget,
-    over_budget_undropped)."""
+    over_budget_undropped); with ``return_cands`` also the raw
+    candidate lists (id_b -> [(-nb, id_a)]) and shingle sets, for the
+    verify-budget tail audit twin."""
     from ingestion_pipeline_spark.plans.registry_ext65 import (
         _ENUM_CAP,
         _VERIFY_K,
@@ -195,6 +197,11 @@ def _cascade_recompute(docs):
             over_budget += 1
             if b not in drops:
                 over_undropped += 1
+    if return_cands:
+        return (
+            survivors, drops, n_guarded, over_budget, over_undropped,
+            cands, shs,
+        )
     return survivors, drops, n_guarded, over_budget, over_undropped
 
 
@@ -403,3 +410,177 @@ def test_cascade_hot_bucket_guard_binds(spark, tmp_path):
         REGISTRY["pipeline_dedup_survivors"].sql
     ).fetchall()}
     assert {r["doc_id"] for r in sv} == want_sv
+
+
+def _write_docs_fixture(tmp_path, docs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s0"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_verify_budget_tail_audit_recompute(spark, tmp_path):
+    """Fixture-scale twin of tools/audit_verify_budget.py (VERDICT r9
+    #1): a corpus where a QUALIFYING partner genuinely hides past the
+    verify budget — 18 docs share a 95-word header (every pair a
+    candidate at J<0.5), and doc 19 is a near-copy of doc 18 whose
+    band collisions happen to TIE the header-only pairs, so id_a=18
+    loses the tie-break and lands at rank 10 of doc 19's candidate
+    list: the top-8 all fail, doc 19 is over-budget-undropped, and the
+    audit must find the rank-10 miss. The miss set and first-rank
+    positions are recomputed from first principles and compared
+    against the tool's own Spark plan (audit_frames — the SAME code
+    path the 100x audit runs)."""
+    from pyspark.sql import functions as F
+
+    from ingestion_pipeline_spark.plans.registry_ext65 import (
+        _VERIFY_K,
+        unpersist_cascade,
+    )
+    from tools.audit_verify_budget import audit_frames
+
+    seed, fam = 44, 18
+    header = " ".join(f"h{seed}q{i}" for i in range(95))
+    docs = [
+        (
+            i + 1,
+            f"{header} "
+            + " ".join(f"b{seed}x{i}y{j}" for j in range(52)),
+        )
+        for i in range(fam)
+    ]
+    toks = docs[-1][1].split()
+    docs.append(
+        (fam + 1, " ".join(toks[:-6] + [f"v{seed}z{j}" for j in range(6)]))
+    )
+    sf_dir = _write_docs_fixture(tmp_path, docs)
+
+    _sv, drops, _ng, _ob, _obu, cands, shs = _cascade_recompute(
+        docs, return_cands=True
+    )
+    obu_ids = {
+        b
+        for b, lst in cands.items()
+        if len(lst) > _VERIFY_K and b not in drops
+    }
+    miss: dict[int, int] = {}
+    for b in obu_ids:
+        for rk_i, (_negnb, a) in enumerate(
+            sorted(cands[b])[_VERIFY_K:], start=_VERIFY_K + 1
+        ):
+            inter = len(shs[a] & shs[b])
+            union = len(shs[a] | shs[b])
+            if union and inter * 10000 // union >= 5000:
+                miss[b] = rk_i
+                break
+    # fixture validity: audit population nonempty AND a true tail miss
+    assert obu_ids, "fixture must produce over-budget-undropped docs"
+    assert miss, "fixture must hide a qualifying partner past the budget"
+
+    fr, obu_df, sample_df, tails, n_pop, n_sampled = audit_frames(
+        spark, sf_dir, sample=10_000
+    )
+    assert n_pop == len(obu_ids)
+    assert n_sampled == len(obu_ids)  # sample covers the population here
+    assert {r["doc_id"] for r in obu_df.collect()} == obu_ids
+    got = {
+        r["id_b"]: r["first_rank"]
+        for r in tails.filter(F.col("qual"))
+        .groupBy("id_b")
+        .agg(F.min("rk").alias("first_rank"))
+        .collect()
+    }
+    assert got == miss
+    sample_df.unpersist(False)
+    obu_df.unpersist(False)
+    unpersist_cascade(fr)
+
+
+def test_dup_clusters_capped_recompute(spark, tmp_path):
+    """d_dup_clusters_capped on the hot-bucket-guard corpus (clusters
+    actually FORM here: the 40-doc family collapses onto its min-id
+    representative through guarded star edges): components recomputed
+    from first principles (union-find over the in-budget qualifying
+    edges) and the censuses checked against the candidate lists; the
+    DuckDB oracle is run on the same corpus, so the recursive-CTE SQL
+    and the label-propagation DataFrame agree where the guard binds."""
+    import duckdb
+
+    from ingestion_pipeline_spark.plans import REGISTRY
+    from ingestion_pipeline_spark.plans.registry_ext65 import (
+        _ENUM_CAP,
+        _VERIFY_K,
+    )
+
+    base = " ".join(f"w{i}" for i in range(200))
+    fam = _ENUM_CAP + 16
+    texts = [f"{base} uniq{i}" for i in range(fam)]
+    texts += [" ".join(f"f{j}x{i}" for j in range(30)) for i in range(10)]
+    texts += [texts[0], "  " + texts[0] + "  "]
+    docs = [(i + 1, t) for i, t in enumerate(texts)]
+    sf_dir = _write_docs_fixture(tmp_path, docs)
+
+    survivors, drops, n_guarded, _ob, _obu, cands, shs = (
+        _cascade_recompute(docs, return_cands=True)
+    )
+    # verified edges: in-budget qualifying pairs (the drop rule's edges)
+    edges = []
+    n_excluded = 0
+    for b, lst in cands.items():
+        lst = sorted(lst)
+        n_excluded += max(0, len(lst) - _VERIFY_K)
+        for _negnb, a in lst[:_VERIFY_K]:
+            inter = len(shs[a] & shs[b])
+            union = len(shs[a] | shs[b])
+            if union and inter * 10000 // union >= 5000:
+                edges.append((a, b))
+    assert edges, "fixture must form clusters"
+    parent = {d: d for d in survivors}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in survivors}
+    rows = REGISTRY["d_dup_clusters_capped"].spark(spark, sf_dir).collect()
+    got = {r["doc_id"]: r["component"] for r in rows}
+    assert got == want
+    # the family collapses onto its min-id representative
+    assert {want[d] for d in range(1, fam + 1)} == {1}
+    for r in rows:
+        assert r["excluded_pairs"] == n_excluded
+        assert r["guarded_buckets"] == n_guarded
+    # DuckDB oracle differential on the same corpus
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            REGISTRY["d_dup_clusters_capped"].sql
+        ).fetchall()
+    }
+    assert {
+        r["doc_id"]: (
+            r["component"], r["excluded_pairs"], r["guarded_buckets"]
+        )
+        for r in rows
+    } == oracle

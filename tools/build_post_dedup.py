@@ -103,6 +103,9 @@ def main() -> int:
         os.path.join(out, "documents.parquet")
     ).count()
     doc_s = round(time.perf_counter() - t0, 1)
+    # one-shot consumer: release the cascade's persisted blocks
+    # (sig carries the full text column — ADVICE r9 persist contract)
+    spark.catalog.clearCache()
 
     for t in TABLES:
         if t in ("documents", "embeddings"):

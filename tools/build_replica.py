@@ -1,0 +1,50 @@
+"""Build and KEEP a deterministic Kx replica of sf0.1 (the scale_smoke
+builder, without the exit-time delete): the faithful-text/embedding
+replica the 100x sweeps, the post-dedup builder and the verify-budget
+audit all run against.
+
+    python tools/build_replica.py [--out DIR] [K]
+
+Defaults: --out .scale/sf100x-work, K=100. Prints one JSON line with
+per-table row counts and the build wall. The replica construction
+itself (key remapping, per-copy text/embedding perturbation, multi-file
+layout) lives in tools/scale_smoke.py::build_scaled — this is only the
+keep-the-directory entry point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    out = ".scale/sf100x-work"
+    if "--out" in args:
+        i = args.index("--out")
+        out = args[i + 1]
+        del args[i:i + 2]
+    k = int(args[0]) if args else 100
+
+    from ingestion_pipeline_spark.session import get_spark
+    from tools.scale_smoke import build_scaled
+
+    spark = get_spark("build-replica")
+    t0 = time.perf_counter()
+    rows = build_scaled(spark, os.path.abspath(out), k)
+    print(
+        json.dumps(
+            {"out": os.path.abspath(out), "k": k, "rows": rows,
+             "build_sec": round(time.perf_counter() - t0, 1)}
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
