@@ -260,35 +260,31 @@ def test_cascade_verify_budget_census_binds(spark, tmp_path):
     values where they're ZERO (the driver fixtures carry no doc with
     >_VERIFY_K candidates); the 100× replica exercises the nonzero
     path Spark-side only. This corpus makes the budget BIND below the
-    enumeration guard: 24 docs share a 95-word header with unique
-    52-word bodies, so every pair sits at exact 3-gram J = 4720 bp —
-    candidates everywhere (band buckets of ~11-13 docs, all under the
-    24-doc guard), but nothing qualifies at >= 5000, so every
-    over-budget doc is also undropped. Spark vs recompute vs DuckDB
-    oracle, all three legs."""
+    enumeration guard: 48 docs share a 95-word header with unique
+    52-word bodies, so every pair is a sub-threshold candidate
+    (J = 4720 bp < 5000) — each band splits the family into buckets
+    under the 24-doc guard, but the UNION of a doc's bucketmates
+    across its 4 bands exceeds the round-10 budget of 32 for four
+    high-id docs (max candidate list 36), so those docs are
+    over-budget AND undropped. Spark vs recompute vs DuckDB oracle,
+    all three legs. (Re-engineered for _VERIFY_K = 32: the old 24-doc
+    corpus capped candidate lists at 23 and could no longer bind.)"""
     import duckdb
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from ingestion_pipeline_spark.plans import REGISTRY
     from ingestion_pipeline_spark.plans.registry_ext65 import _VERIFY_K
 
-    header = " ".join(f"h{i}" for i in range(95))
+    seed = 9
+    header = " ".join(f"c{seed}h{i}" for i in range(95))
     docs = [
-        (i + 1, f"{header} " + " ".join(f"b{i}x{j}" for j in range(52)))
-        for i in range(24)
+        (
+            i + 1,
+            f"{header} "
+            + " ".join(f"c{seed}b{i}y{j}" for j in range(52)),
+        )
+        for i in range(48)
     ]
-    tbl = pa.table(
-        {
-            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
-            "text": pa.array([t for _, t in docs], pa.string()),
-            "lang": pa.array(["en"] * len(docs), pa.string()),
-            "source": pa.array(["s0"] * len(docs), pa.string()),
-            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
-        }
-    )
-    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
-    sf_dir = str(tmp_path)
+    sf_dir = _write_docs_fixture(tmp_path, docs)
 
     survivors, drops, n_guarded, over_budget, over_undropped = (
         _cascade_recompute(docs)
@@ -323,7 +319,7 @@ def test_cascade_verify_budget_census_binds(spark, tmp_path):
     ).fetchall()}
     for stage, row in got.items():
         assert tuple(row.values()) == want[stage], (stage, row, want[stage])
-    assert _VERIFY_K == 8  # the fixture's arithmetic assumes the budget
+    assert _VERIFY_K == 32  # the fixture's arithmetic assumes the budget
 
 
 def test_cascade_hot_bucket_guard_binds(spark, tmp_path):
@@ -432,15 +428,15 @@ def _write_docs_fixture(tmp_path, docs):
 def test_verify_budget_tail_audit_recompute(spark, tmp_path):
     """Fixture-scale twin of tools/audit_verify_budget.py (VERDICT r9
     #1): a corpus where a QUALIFYING partner genuinely hides past the
-    verify budget — 18 docs share a 95-word header (every pair a
-    candidate at J<0.5), and doc 19 is a near-copy of doc 18 whose
-    band collisions happen to TIE the header-only pairs, so id_a=18
-    loses the tie-break and lands at rank 10 of doc 19's candidate
-    list: the top-8 all fail, doc 19 is over-budget-undropped, and the
-    audit must find the rank-10 miss. The miss set and first-rank
-    positions are recomputed from first principles and compared
-    against the tool's own Spark plan (audit_frames — the SAME code
-    path the 100x audit runs)."""
+    verify budget — 48 docs share a 95-word header (every pair a
+    sub-threshold candidate), and doc 49 is a J≈0.56 partial copy of
+    doc 48 whose band collisions happen to TIE the header-only pairs,
+    so id_a=48 loses the (nb desc, id_a) tie-break and lands at rank
+    33 of doc 49's candidate list: the top-32 all fail, doc 49 is
+    over-budget-undropped, and the audit must find the rank-33 miss.
+    The miss set and first-rank positions are recomputed from first
+    principles and compared against the tool's own Spark plan
+    (audit_frames — the SAME code path the 100x audit runs)."""
     from pyspark.sql import functions as F
 
     from ingestion_pipeline_spark.plans.registry_ext65 import (
@@ -449,19 +445,22 @@ def test_verify_budget_tail_audit_recompute(spark, tmp_path):
     )
     from tools.audit_verify_budget import audit_frames
 
-    seed, fam = 44, 18
-    header = " ".join(f"h{seed}q{i}" for i in range(95))
+    seed, fam, nchg = 43, 48, 30
+    header = " ".join(f"t{seed}h{i}" for i in range(95))
     docs = [
         (
             i + 1,
             f"{header} "
-            + " ".join(f"b{seed}x{i}y{j}" for j in range(52)),
+            + " ".join(f"t{seed}b{i}y{j}" for j in range(52)),
         )
         for i in range(fam)
     ]
     toks = docs[-1][1].split()
     docs.append(
-        (fam + 1, " ".join(toks[:-6] + [f"v{seed}z{j}" for j in range(6)]))
+        (
+            fam + 1,
+            " ".join(toks[:-nchg] + [f"t{seed}v{j}" for j in range(nchg)]),
+        )
     )
     sf_dir = _write_docs_fixture(tmp_path, docs)
 

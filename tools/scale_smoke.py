@@ -352,9 +352,14 @@ def main() -> int:
     # measures cold compile + run, not the operator. Opt-in so
     # historical single-run numbers stay comparable.
     warmup = "--warmup" in argv
-    argv = [a for a in argv if a != "--warmup"]
+    # --all: sweep EVERY registered query (the full-suite 100x refresh,
+    # VERDICT r9 #5) instead of the curated heavy-shape list.
+    all_queries = "--all" in argv
+    argv = [a for a in argv if a not in ("--warmup", "--all")]
     k = int(argv[0]) if argv else 10
-    names = argv[1:] or DEFAULT_QUERIES
+    names = argv[1:] or (
+        list(query_map()) if all_queries else DEFAULT_QUERIES
+    )
     # SPARK_GRAFT_SCALE_DIR: reuse a pre-built replica (skip the
     # ~10-min 100x build and the exit-time delete) — for iterating on
     # individual queries against one kept replica.
@@ -373,6 +378,14 @@ def main() -> int:
         print(f"# built {k}x replica in {build_s}s: {rows}", file=sys.stderr)
 
     qs = query_map()
+    # machine-state fingerprint at sweep start/end (VERDICT r9 #5: the
+    # 100x tables in SCALE.md are probe-annotated so cross-session
+    # comparisons start ambient-corrected) — same fixed probe bench.py
+    # records, read under the same both-medians drift rule.
+    from bench import _env_probe
+
+    probe_start = _env_probe(spark)
+    print(f"# env probe (start): {probe_start}s", file=sys.stderr)
     times: dict[str, float] = {}
     failures = 0
     for name in names:
@@ -414,7 +427,19 @@ def main() -> int:
             except Exception:  # noqa: BLE001 — hygiene must never fail a smoke
                 pass
 
-    print(json.dumps({"k": k, "build_sec": build_s, "rows": rows, "queries": times}))
+    probe_end = _env_probe(spark)
+    print(f"# env probe (end): {probe_end}s", file=sys.stderr)
+    print(json.dumps({
+        "k": k,
+        "build_sec": build_s,
+        "rows": rows,
+        "queries": times,
+        "env_probe_sec": {
+            "start": probe_start,
+            "end": probe_end,
+            "min": min(probe_start, probe_end),
+        },
+    }))
     if not reuse_dir:
         shutil.rmtree(out_dir, ignore_errors=True)
     return 1 if failures else 0
