@@ -75,7 +75,16 @@ _SPLIT_SQL = """
     "and a leaky flag, all re-derived independently by the oracle "
     "(recursive closure + hash buckets). The fix when leaky > 0 is "
     "split-by-cluster (assign the CLUSTER id to the hash bucket, not "
-    "the doc id) — this query is the regression gate proving you did.",
+    "the doc id) — this query is the regression gate proving you did. "
+    "DEPLOYMENT CONTRACT (r10): the cluster stage here is the EXACT "
+    "all-co-shingled-pairs audit (jaccard_pairs at 0.12), inherently "
+    "quadratic in sub-threshold co-shingle family size — the same "
+    "documented status as d_dup_clusters. At scale, deploy it post-"
+    "dedup (tools/build_post_dedup.py; measured at 100x: 402 s on the "
+    "raw replica -> 105 s post-dedup, r10 sweep), or swap the cluster "
+    "stage for the budget-bounded verified-edge components "
+    "d_dup_clusters_capped ships (edge list <= _VERIFY_K x docs by "
+    "construction) when audit-exactness at 0.12 is not required.",
 )
 def d_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.sampling import dataset_split

@@ -132,7 +132,12 @@ def chunk_dedup_rebuild(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("text_dedup"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    # n_chunks is known BEFORE the explode (ceil(|tokens| / chunk)):
+    # aggregating the exploded chunks for it re-ran the token split +
+    # chunk explode a second time (r10 — chunks had two consumers).
+    # Identical value: a doc explodes into exactly n_chunks rows, and
+    # a token-less doc yields 0 both ways (no exploded rows / ceil 0).
+    totals = with_tk.select("doc_id", n_chunks.alias("n_chunks"))
     return (
         docs.select("doc_id")
         .join(rebuilt, "doc_id", "left")

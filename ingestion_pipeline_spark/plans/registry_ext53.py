@@ -70,7 +70,13 @@ from .registry_ext50 import (
 )
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
-    cleaned = chunk_dedup_rebuild(docs)
+    # cleaned feeds THREE consumers (accounting, classifier, word
+    # recount) — unpersisted, the whole chunk-dedup rebuild (token
+    # split + chunk explode + md5 window) recomputed per consumer
+    # (r10; the g_vocab_overlap multi-consumer lesson). Same caller-
+    # must-clearCache contract as cascade_frames: bench/driver
+    # hygiene releases the blocks between queries.
+    cleaned = chunk_dedup_rebuild(docs).persist()
     scored = classifier_scores(
         cleaned.select("doc_id", "text_dedup"), text_col="text_dedup"
     )

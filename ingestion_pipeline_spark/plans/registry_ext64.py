@@ -257,18 +257,27 @@ def d_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("bucket"),
                 )
             )
-    # bands feeds THREE consumers (bucket census, join left, join
-    # right) over a corpus-sized explode lineage — the g_vocab_overlap
-    # multi-consumer lesson: persist once
-    bands = (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select("doc_id", "bb.cfg", "bb.band", "bb.bucket")
-        .persist()
-    )
-    buckets = bands.groupBy("cfg", "band", "bucket").agg(
-        F.count("*").alias("k")
-    )
-    stats = buckets.groupBy("cfg").agg(
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.cfg", "bb.band", "bb.bucket")
+    # ONE aggregate feeds BOTH the census and the pair enumeration
+    # (r10 rewrite): the old shape filtered small buckets with a
+    # census join and then SELF-JOINED bands on (cfg, band, bucket) —
+    # three shuffles keyed on up-to-256-char concatenated-md5 bucket
+    # strings, measured 52 s of the query's 87-97 s at 100x. Grouping
+    # once and expanding each small bucket's sorted doc list locally
+    # (k <= _HOT_CAP caps the expansion at C(24,2) = 276 pairs per
+    # bucket) produces the IDENTICAL pair multiset from one exchange:
+    # 8.2 s on the same replica, 6.3x. Hot buckets pay a collect
+    # buffer of k ids before the filter discards them (~80 KB at the
+    # 100x max; a true-100TB corpus with 10^7-doc boilerplate buckets
+    # would pre-truncate with the cascade's representative window —
+    # measured 4x slower here, so not the default).
+    grouped = bands.groupBy("cfg", "band", "bucket").agg(
+        F.count("*").alias("k"),
+        F.array_sort(F.collect_list("doc_id")).alias("ids"),
+    ).persist()
+    stats = grouped.groupBy("cfg").agg(
         F.sum(F.expr("k * (k - 1) div 2")).cast("long").alias(
             "n_bucket_slots"
         ),
@@ -276,25 +285,19 @@ def d_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_hot_buckets"),
     )
-    ok = buckets.filter(F.col("k") <= _HOT_CAP).select(
-        "cfg", "band", "bucket"
-    )
-    small = bands.join(ok, ["cfg", "band", "bucket"])
-    right = small.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("cfg").alias("cfg_b"),
-        F.col("band").alias("band_b"),
-        F.col("bucket").alias("bucket_b"),
-    )
     pairs = (
-        small.join(
-            right,
-            (F.col("cfg") == F.col("cfg_b"))
-            & (F.col("band") == F.col("band_b"))
-            & (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("doc_id") < F.col("doc_b")),
+        grouped.filter(F.col("k") <= _HOT_CAP)
+        .select(
+            "cfg",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p"),
         )
-        .select("cfg", "doc_id", "doc_b")
+        .select("cfg", F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
     counts = pairs.groupBy("cfg").agg(F.count("*").alias("n_pairs"))

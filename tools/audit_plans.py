@@ -50,6 +50,9 @@ NLJ_ALLOWED = {
     "v_negative_samples",  # tiny anchor set broadcast x corpus on label<>: by design
     "dq_join_skew_profile",  # 10-row TakeOrdered top-k x 1-row stats broadcast
     "pipeline_dedup_cascade",  # three 1-row count aggregates cross-joined into the 2-row stack
+    "d_dup_clusters_capped",   # two 1-row censuses (excluded_pairs,
+                               # guarded_buckets) broadcast onto the
+                               # per-doc component assignment
     "d_minhash_jaccard_calibration",  # 1-row pair-census (total vs sampled) broadcast onto the capped calibration rows
     "g_triangle_counts",   # 1-row edge/node-count aggregates broadcast onto 1-row triangle count
     "g_histogram_totalprice",  # 1-row (min, max) bounds broadcast onto the scan
