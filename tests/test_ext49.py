@@ -200,3 +200,41 @@ def test_cms_streaming_maintenance_equals_batch(spark, tmp_path):
     }
     assert stored == whole
     assert len(stored) <= 2 * 8
+
+
+def test_chunk_rebuild_counts_edge_docs(spark):
+    """The r10 pre-explode n_chunks identity on the degenerate shapes
+    the fixtures may not hold: empty text, whitespace-only, one token,
+    an exact chunk-multiple, and one-past-the-boundary. n_chunks must
+    equal the number of exploded chunks either way (ceil identity) and
+    a token-less doc must contribute zero chunks, not a ghost row."""
+    from ingestion_pipeline_spark.plans.registry_ext50 import (
+        _CHUNK,
+        chunk_dedup_rebuild,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "   \t  "),
+            (2, "one"),
+            (3, " ".join(f"w{i}" for i in range(_CHUNK))),
+            (4, " ".join(f"w{i}" for i in range(_CHUNK + 1))),
+            (5, " ".join(f"w{i}" for i in range(3 * _CHUNK))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in chunk_dedup_rebuild(docs).collect()}
+    assert len(got) == 6
+    expect_chunks = {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+    for doc_id, n in expect_chunks.items():
+        assert got[doc_id]["n_chunks"] == n, (doc_id, got[doc_id])
+    # token-less docs rebuild to the empty string with nothing dropped
+    for doc_id in (0, 1):
+        assert got[doc_id]["text_dedup"] == ""
+        assert got[doc_id]["n_dropped"] == 0
+    # doc 4's first chunk equals doc 3's text (same 10 words) -> the
+    # lower-id doc keeps it, doc 4 drops exactly that one chunk
+    assert got[3]["n_dropped"] == 0
+    assert got[4]["n_dropped"] == 1
+    assert got[4]["text_dedup"] == f"w{_CHUNK}"
