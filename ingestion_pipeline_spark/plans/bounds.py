@@ -68,7 +68,7 @@ def check_sketch_aggregates(con, srows) -> list[str]:
                 f"{et}: approx_users {r['approx_users']} outside "
                 f"{du}±{band:.1f} (3·rsd)"
             )
-        for p, q in zip((0.5, 0.95, 0.99), r["value_quantiles"]):
+        for p, q in zip((0.5, 0.95, 0.99), (r["p50"], r["p95"], r["p99"])):
             slack = eps + 1.5 / n
             lo = vals[max(0, math.floor((p - slack) * n) - 1)]
             hi = vals[min(n - 1, math.ceil((p + slack) * n))]

@@ -128,16 +128,33 @@ def d_keep_one_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g_sketch_aggregates",
     None,  # HLL / KLL sketch internals differ across engines — rows-only;
-    # accuracy vs exact is asserted in tests/test_graph_sketch.py.
+    # accuracy vs exact is asserted in tests/test_graph_sketch.py and
+    # gated by plans/bounds.py (analytic rank-window + rsd bands).
     "Sketch aggregates for 100 TB profiling: approx_count_distinct "
     "(HyperLogLog++, mergeable partial sketches — no exact-distinct "
     "shuffle of raw keys) and approx_percentile over the events stream. "
-    "Tested against exact values with a 5% relative-error bound.",
+    "Tested against exact values with a 5% relative-error bound. "
+    "Output is FLAT scalar columns (p50/p95/p99), per the repo's "
+    "driver-rendering convention — an array<double> column crashed "
+    "the rows-only canonicalizer in CORRECTNESS_r10 (VERDICT r10 #1).",
 )
 def g_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_quantiles"),
-        F.count("*").alias("n_events"),
+    # one KLL sketch per group (single percentile_approx over the
+    # 3-quantile array), flattened to scalars AFTER the aggregate
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("__q"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("__q").getItem(0).alias("p50"),
+            F.col("__q").getItem(1).alias("p95"),
+            F.col("__q").getItem(2).alias("p99"),
+            "n_events",
+        )
     )

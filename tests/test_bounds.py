@@ -65,7 +65,9 @@ def test_sketch_aggregates_pass_and_fire(con):
             "event_type": "click",
             "n_events": 20,
             "approx_users": exact_users,          # within any band
-            "value_quantiles": [vals[10], vals[19], vals[19]],
+            "p50": vals[10],
+            "p95": vals[19],
+            "p99": vals[19],
         }
     ]
     assert check_sketch_aggregates(con, good) == []
@@ -78,7 +80,7 @@ def test_sketch_aggregates_pass_and_fire(con):
         "approx_users" in v for v in check_sketch_aggregates(con, bad_est)
     )
     # a "percentile" outside the exact rank window fires
-    bad_q = [dict(good[0], value_quantiles=[vals[0], vals[19], vals[19]])]
+    bad_q = [dict(good[0], p50=vals[0])]
     assert any("p50" in v for v in check_sketch_aggregates(con, bad_q))
     # domain mismatch fires
     assert check_sketch_aggregates(con, []) != []

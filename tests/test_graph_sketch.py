@@ -56,16 +56,21 @@ def test_sketch_aggregates_accuracy(spark, sf_dir):
         )
         .collect()
     }
+    # exercise the REGISTRY query so the driver-facing output shape is
+    # pinned: flat scalar p50/p95/p99 columns, not array<double> — the
+    # array form crashed the driver's rows-only canonicalizer
+    # (pandas sort_values on list cells, CORRECTNESS_r10 / VERDICT r10 #1)
+    from ingestion_pipeline_spark.plans import REGISTRY
+
+    q = REGISTRY["g_sketch_aggregates"].spark(spark, sf_dir)
+    assert [f.name for f in q.schema.fields] == [
+        "event_type", "approx_users", "p50", "p95", "p99", "n_events",
+    ]
+    assert all(
+        f.dataType.typeName() != "array" for f in q.schema.fields
+    ), "driver rows-only canonicalizer cannot sort array cells"
     approx = {
-        r["event_type"]: (r["approx_users"], r["value_quantiles"][0])
-        for r in ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
-                "value_quantiles"
-            ),
-        )
-        .collect()
+        r["event_type"]: (r["approx_users"], r["p50"]) for r in q.collect()
     }
     assert exact.keys() == approx.keys()
     for etype, (users, p50) in exact.items():
