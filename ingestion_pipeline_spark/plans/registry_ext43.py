@@ -26,11 +26,23 @@ from ..sources.parquet_tables import table
 from .registry import register
 from .registry_ext6 import _PAIRS_SQL
 
-_SPLIT_SQL = """
-    SELECT doc_id,
-           CASE WHEN CAST(('0x' || substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 52429 THEN 'train'
-                WHEN CAST(('0x' || substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 58983 THEN 'val'
-                ELSE 'test' END AS split
+def split_case_sql(id_expr: str = "doc_id") -> str:
+    """The deterministic md5-bucket train/val/test CASE expression
+    (oracle twin of ``functions.sampling.dataset_split``), exposed so
+    the capped production leakage audit (``d_split_leakage_capped``,
+    ext65) shares ONE split definition with this exact audit."""
+    h = (
+        "CAST(('0x' || substr(md5('split0' || "
+        f"CAST({id_expr} AS VARCHAR)), 1, 4)) AS BIGINT)"
+    )
+    return (
+        f"CASE WHEN {h} < 52429 THEN 'train' "
+        f"WHEN {h} < 58983 THEN 'val' ELSE 'test' END"
+    )
+
+
+_SPLIT_SQL = f"""
+    SELECT doc_id, {split_case_sql()} AS split
     FROM documents
 """
 

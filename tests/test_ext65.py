@@ -583,3 +583,98 @@ def test_dup_clusters_capped_recompute(spark, tmp_path):
         )
         for r in rows
     } == oracle
+
+
+def test_split_leakage_capped_recompute(spark, tmp_path):
+    """d_split_leakage_capped on the hot-bucket-guard corpus (the
+    40-doc family forms one cluster whose members hash across
+    train/val/test, so the leaky flag FIRES where the caps bind):
+    clusters recomputed from first principles (union-find over the
+    in-budget qualifying edges), splits recomputed from the md5 bucket
+    rule, audit + censuses checked row by row, and the DuckDB oracle
+    run on the same corpus."""
+    import duckdb
+
+    from ingestion_pipeline_spark.plans import REGISTRY
+    from ingestion_pipeline_spark.plans.registry_ext65 import (
+        _ENUM_CAP,
+        _VERIFY_K,
+    )
+
+    base = " ".join(f"w{i}" for i in range(200))
+    fam = _ENUM_CAP + 16
+    texts = [f"{base} uniq{i}" for i in range(fam)]
+    texts += [" ".join(f"f{j}x{i}" for j in range(30)) for i in range(10)]
+    texts += [texts[0], "  " + texts[0] + "  "]
+    docs = [(i + 1, t) for i, t in enumerate(texts)]
+    sf_dir = _write_docs_fixture(tmp_path, docs)
+
+    survivors, drops, n_guarded, _ob, _obu, cands, shs = (
+        _cascade_recompute(docs, return_cands=True)
+    )
+    edges = []
+    n_excluded = 0
+    for b, lst in cands.items():
+        lst = sorted(lst)
+        n_excluded += max(0, len(lst) - _VERIFY_K)
+        for _negnb, a in lst[:_VERIFY_K]:
+            inter = len(shs[a] & shs[b])
+            union = len(shs[a] | shs[b])
+            if union and inter * 10000 // union >= 5000:
+                edges.append((a, b))
+    assert edges, "fixture must form clusters"
+    parent = {d: d for d in survivors}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    def split_of(doc_id: int) -> str:
+        h = int(hashlib.md5(f"split0{doc_id}".encode()).hexdigest()[:4], 16)
+        return "train" if h < 52429 else ("val" if h < 58983 else "test")
+
+    clusters: dict[int, list[int]] = {}
+    for d in survivors:
+        clusters.setdefault(find(d), []).append(d)
+    want = {}
+    for cid, members in clusters.items():
+        if len(members) < 2:
+            continue
+        sps = sorted({split_of(d) for d in members})
+        want[cid] = (
+            len(members), len(sps), ",".join(sps), int(len(sps) > 1),
+            n_excluded, n_guarded,
+        )
+    assert want, "fixture must produce multi-member clusters"
+    # the 40-doc family is one cluster spanning >1 split: leaky fires
+    assert want[1][3] == 1 and want[1][0] >= fam - 2
+
+    rows = REGISTRY["d_split_leakage_capped"].spark(spark, sf_dir).collect()
+    got = {
+        r["cluster_id"]: (
+            r["n_docs"], r["n_splits"], r["splits"], r["leaky"],
+            r["excluded_pairs"], r["guarded_buckets"],
+        )
+        for r in rows
+    }
+    assert got == want
+    # DuckDB oracle differential on the same corpus
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            REGISTRY["d_split_leakage_capped"].sql
+        ).fetchall()
+    }
+    assert got == oracle
