@@ -136,6 +136,35 @@ def _env_probe(spark, n_runs: int = 3) -> float:
     return round(best, 3)
 
 
+def _env_probe_io(spark, sf_dir: str, n_runs: int = 3) -> float:
+    """Second probe leg (VERDICT r10 #5): a fixed parquet scan+agg over
+    the run's own lineitem table — exercises the IO stack (file
+    listing, footer reads, parquet page decode, OS page cache) the
+    pure-CPU probe misses. The r10 driver pair showed the two medians
+    disagreeing in SIGN (raw 0.972 vs CPU-normalized 0.769) on a
+    session with 4.4x probe swings; the blend of both legs tracks
+    machine state across BOTH axes. Best-of-``n_runs`` minimum — on a
+    warm page cache both prior and current runs measure the same warm
+    path, so the ratio stays apples-to-apples."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    best = float("inf")
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(path)
+            .select(
+                F.count("*").alias("c"),
+                F.sum("l_quantity").alias("q"),
+                F.min("l_shipdate").alias("d"),
+            )
+            .collect()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     from ingestion_pipeline_spark.plans import query_map
     from ingestion_pipeline_spark.session import get_spark
@@ -161,6 +190,7 @@ def main() -> None:
     prior_times: dict[str, float] = {}
     prior_sf = None
     prior_probe = None
+    prior_probe_io = None
     for src in (detail_path, sidecar_path):
         try:
             with open(src) as fh:
@@ -171,6 +201,7 @@ def main() -> None:
             prior_times = dict(prior.get("queries", {}))
             prior_sf = sf
             prior_probe = (prior.get("env_probe_sec") or {}).get("min")
+            prior_probe_io = (prior.get("env_probe_io_sec") or {}).get("min")
             break
 
     # Session warmup: JVM + parquet footer caches, one tiny action.
@@ -192,7 +223,9 @@ def main() -> None:
           file=sys.stderr)
 
     probe_start = _env_probe(spark)
-    print(f"# env probe (start): {probe_start}s", file=sys.stderr)
+    probe_io_start = _env_probe_io(spark, sf_dir)
+    print(f"# env probe (start): cpu {probe_start}s, io {probe_io_start}s",
+          file=sys.stderr)
 
     times: dict[str, float] = {}
     # name -> [min, median, max, n_runs] — the variance record VERDICT
@@ -274,7 +307,9 @@ def main() -> None:
                 pass
 
     probe_end = _env_probe(spark)
-    print(f"# env probe (end): {probe_end}s", file=sys.stderr)
+    probe_io_end = _env_probe_io(spark, sf_dir)
+    print(f"# env probe (end): cpu {probe_end}s, io {probe_io_end}s",
+          file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     # Twin split (VERDICT r5 #6): documented reference twins are correct
@@ -303,6 +338,13 @@ def main() -> None:
             "start": probe_start,
             "end": probe_end,
             "min": min(probe_start, probe_end),
+        },
+        # second probe leg (VERDICT r10 #5): parquet scan+agg — the IO
+        # axis the pure-CPU probe misses
+        "env_probe_io_sec": {
+            "start": probe_io_start,
+            "end": probe_io_end,
+            "min": min(probe_io_start, probe_io_end),
         },
     }
     # vs_prior (VERDICT r6 #2c): quantify session drift against the
@@ -345,7 +387,24 @@ def main() -> None:
                     min(probe_start, probe_end) / prior_probe, 3
                 )
                 detail["vs_prior"]["probe_ratio"] = probe_ratio
-                norm_ratio = round(med_ratio / probe_ratio, 3)
+                # blend normalization (VERDICT r10 #5): the CPU leg
+                # tracks compute state, the parquet-scan leg tracks the
+                # IO stack; the geometric mean of both ratios is the
+                # machine-speed correction when the prior recorded both
+                # legs, else fall back to the CPU-only leg (priors from
+                # rounds before the IO leg existed).
+                norm_div = probe_ratio
+                if prior_probe_io:
+                    probe_ratio_io = round(
+                        min(probe_io_start, probe_io_end) / prior_probe_io,
+                        3,
+                    )
+                    detail["vs_prior"]["probe_ratio_io"] = probe_ratio_io
+                    norm_div = round(
+                        (probe_ratio * probe_ratio_io) ** 0.5, 3
+                    )
+                    detail["vs_prior"]["probe_ratio_blend"] = norm_div
+                norm_ratio = round(med_ratio / norm_div, 3)
                 detail["vs_prior"]["median_ratio_probe_normalized"] = (
                     norm_ratio
                 )
@@ -362,7 +421,8 @@ def main() -> None:
                 # per-query fresh_min adjudication.
                 detail["vs_prior"]["drift_rule"] = (
                     "code_drift iff raw>1.3 AND probe_normalized>1.3 "
-                    "(normalized band ±13%, measured r9)"
+                    "(normalized band ±13%, measured r9; normalizer = "
+                    "cpu×io blend when the prior has both legs, r11)"
                 )
                 detail["vs_prior"]["drift_verdict"] = (
                     "code_drift"
@@ -423,6 +483,7 @@ def main() -> None:
         ),
         # machine fingerprint + drift-corrected ratio (VERDICT r9 #3)
         "env_probe_sec": min(probe_start, probe_end),
+        "env_probe_io_sec": min(probe_io_start, probe_io_end),
         "vs_prior_median_ratio_probe_norm": detail.get("vs_prior", {}).get(
             "median_ratio_probe_normalized"
         ),

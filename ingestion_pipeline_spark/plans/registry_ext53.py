@@ -31,6 +31,58 @@ from .registry_ext50 import (
 )
 
 
+def clean_corpus_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The clean-corpus plan with its persisted handle EXPOSED
+    (ADVICE r10): ``result`` is the query's return frame, ``cleaned``
+    the persisted rebuild it fans out from. Library callers running
+    this in a long-lived session should call
+    :func:`unpersist_clean_corpus` (or ``cleaned.unpersist()``) after
+    their action instead of a global ``clearCache()``; the registry
+    path leaves release to the bench/driver per-query hygiene because
+    its DataFrame is returned lazy."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    # cleaned feeds THREE consumers (accounting, classifier, word
+    # recount) — unpersisted, the whole chunk-dedup rebuild (token
+    # split + chunk explode + md5 window) recomputed per consumer
+    # (r10; the g_vocab_overlap multi-consumer lesson).
+    cleaned = chunk_dedup_rebuild(docs).persist()
+    scored = classifier_scores(
+        cleaned.select("doc_id", "text_dedup"), text_col="text_dedup"
+    )
+    # n_words_clean == the classifier's token count over the SAME text;
+    # recompute identically so both sides agree on tokenization
+    tk = F.filter(
+        F.split(F.lower(F.col("text_dedup")), r"\s+"), lambda t: t != F.lit("")
+    )
+    words = cleaned.select("doc_id", F.size(tk).cast("long").alias("n_words_clean"))
+    result = (
+        cleaned.select("doc_id", "n_chunks", "n_dropped")
+        .join(scored, "doc_id")
+        .join(words, "doc_id")
+        .filter(F.col("keep"))
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dropped",
+            "logit_milli",
+            "quality_score",
+            "n_words_clean",
+        )
+    )
+    return {"cleaned": cleaned, "result": result}
+
+
+def unpersist_clean_corpus(frames: dict[str, DataFrame]) -> None:
+    """Release the block ``clean_corpus_frames()`` persisted (ADVICE
+    r10 — the :func:`unpersist_cascade` convention)."""
+    df = frames.get("cleaned")
+    if df is not None:
+        try:
+            df.unpersist(False)
+        except Exception:  # noqa: BLE001 — cleanup must never fail a caller
+            pass
+
+
 @register(
     "pipeline_clean_corpus",
     f"""
@@ -69,34 +121,4 @@ from .registry_ext50 import (
     "value-hash gated end to end.",
 )
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(table(spark, sf_dir, "documents"))
-    # cleaned feeds THREE consumers (accounting, classifier, word
-    # recount) — unpersisted, the whole chunk-dedup rebuild (token
-    # split + chunk explode + md5 window) recomputed per consumer
-    # (r10; the g_vocab_overlap multi-consumer lesson). Same caller-
-    # must-clearCache contract as cascade_frames: bench/driver
-    # hygiene releases the blocks between queries.
-    cleaned = chunk_dedup_rebuild(docs).persist()
-    scored = classifier_scores(
-        cleaned.select("doc_id", "text_dedup"), text_col="text_dedup"
-    )
-    # n_words_clean == the classifier's token count over the SAME text;
-    # recompute identically so both sides agree on tokenization
-    tk = F.filter(
-        F.split(F.lower(F.col("text_dedup")), r"\s+"), lambda t: t != F.lit("")
-    )
-    words = cleaned.select("doc_id", F.size(tk).cast("long").alias("n_words_clean"))
-    return (
-        cleaned.select("doc_id", "n_chunks", "n_dropped")
-        .join(scored, "doc_id")
-        .join(words, "doc_id")
-        .filter(F.col("keep"))
-        .select(
-            "doc_id",
-            "n_chunks",
-            "n_dropped",
-            "logit_milli",
-            "quality_score",
-            "n_words_clean",
-        )
-    )
+    return clean_corpus_frames(spark, sf_dir)["result"]

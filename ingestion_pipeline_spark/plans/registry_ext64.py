@@ -272,7 +272,12 @@ def d_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buffer of k ids before the filter discards them (~80 KB at the
     # 100x max; a true-100TB corpus with 10^7-doc boilerplate buckets
     # would pre-truncate with the cascade's representative window —
-    # measured 4x slower here, so not the default).
+    # measured 4x slower here, so not the default. If mega-buckets
+    # ever appear, cap the collected list post-sort — slice(ids, 1,
+    # _HOT_CAP + 1) keeps k from count(*) intact — per ADVICE r10.)
+    # grouped.persist() follows the caller-must-clearCache contract
+    # (cascade_frames precedent): bench/driver hygiene releases it;
+    # long-lived sessions unpersist after their action (ADVICE r10).
     grouped = bands.groupBy("cfg", "band", "bucket").agg(
         F.count("*").alias("k"),
         F.array_sort(F.collect_list("doc_id")).alias("ids"),

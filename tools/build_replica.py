@@ -10,6 +10,18 @@ per-table row counts and the build wall. The replica construction
 itself (key remapping, per-copy text/embedding perturbation, multi-file
 layout) lives in tools/scale_smoke.py::build_scaled — this is only the
 keep-the-directory entry point.
+
+POST-REBUILD CHECKLIST (VERDICT r10 #7): the dedup cascade's verify
+budget (_VERIFY_K, plans/registry_ext65.py) was calibrated against a
+MEASURED miss rate on a specific replica shape (K=8: 1.40% missed;
+K=32: 0 observed on the exposed population). Whenever this replica is
+rebuilt — new K, new perturbation, new base fixture — re-run
+
+    python tools/audit_verify_budget.py
+
+against the fresh directory and commit the refreshed sidecar under
+tools/scale_runs/, or the calibration silently rots when the corpus
+shape changes. This entry point prints the reminder after every build.
 """
 
 from __future__ import annotations
@@ -42,6 +54,13 @@ def main() -> int:
             {"out": os.path.abspath(out), "k": k, "rows": rows,
              "build_sec": round(time.perf_counter() - t0, 1)}
         )
+    )
+    print(
+        "# REMINDER (VERDICT r10 #7): replica shape changed — re-run "
+        "`python tools/audit_verify_budget.py` against this directory "
+        "and commit the refreshed sidecar (the _VERIFY_K calibration "
+        "is replica-specific).",
+        file=sys.stderr,
     )
     return 0
 
