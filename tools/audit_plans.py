@@ -53,6 +53,8 @@ NLJ_ALLOWED = {
     "d_dup_clusters_capped",   # two 1-row censuses (excluded_pairs,
                                # guarded_buckets) broadcast onto the
                                # per-doc component assignment
+    "d_split_leakage_capped",  # same two 1-row censuses broadcast
+                               # onto the per-cluster audit rows
     "d_minhash_jaccard_calibration",  # 1-row pair-census (total vs sampled) broadcast onto the capped calibration rows
     "g_triangle_counts",   # 1-row edge/node-count aggregates broadcast onto 1-row triangle count
     "g_histogram_totalprice",  # 1-row (min, max) bounds broadcast onto the scan
