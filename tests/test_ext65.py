@@ -678,3 +678,23 @@ def test_split_leakage_capped_recompute(spark, tmp_path):
         ).fetchall()
     }
     assert got == oracle
+
+
+def test_unpersist_clean_corpus_releases_blocks(spark, sf_dir):
+    """ADVICE r10: clean_corpus_frames exposes its persisted handle so
+    library callers can release it without a global clearCache; the
+    helper drops the cached blocks and is idempotent/safe on partials."""
+    from ingestion_pipeline_spark.plans.registry_ext53 import (
+        clean_corpus_frames,
+        unpersist_clean_corpus,
+    )
+
+    fr = clean_corpus_frames(spark, sf_dir)
+    n = fr["result"].count()
+    assert n > 0
+    assert fr["cleaned"].storageLevel.useMemory
+    unpersist_clean_corpus(fr)
+    assert not fr["cleaned"].storageLevel.useMemory
+    # idempotent, and tolerant of partial dicts
+    unpersist_clean_corpus(fr)
+    unpersist_clean_corpus({})
