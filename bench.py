@@ -136,6 +136,19 @@ def _env_probe(spark, n_runs: int = 3) -> float:
     return round(best, 3)
 
 
+def _probe_normalizer(
+    probe_ratio: float, probe_ratio_io: "float | None"
+) -> float:
+    """The vs_prior machine-speed divisor (VERDICT r10 #5): the
+    geometric blend of the CPU and IO probe ratios when both legs are
+    available, else the CPU-only leg (priors from rounds before the IO
+    leg existed). Factored out so the blend arithmetic is unit-testable
+    without a Spark session (tests/test_scale.py)."""
+    if probe_ratio_io:
+        return round((probe_ratio * probe_ratio_io) ** 0.5, 3)
+    return probe_ratio
+
+
 def _env_probe_io(spark, sf_dir: str, n_runs: int = 3) -> float:
     """Second probe leg (VERDICT r10 #5): a fixed parquet scan+agg over
     the run's own lineitem table — exercises the IO stack (file
@@ -393,16 +406,15 @@ def main() -> None:
                 # machine-speed correction when the prior recorded both
                 # legs, else fall back to the CPU-only leg (priors from
                 # rounds before the IO leg existed).
-                norm_div = probe_ratio
+                probe_ratio_io = None
                 if prior_probe_io:
                     probe_ratio_io = round(
                         min(probe_io_start, probe_io_end) / prior_probe_io,
                         3,
                     )
                     detail["vs_prior"]["probe_ratio_io"] = probe_ratio_io
-                    norm_div = round(
-                        (probe_ratio * probe_ratio_io) ** 0.5, 3
-                    )
+                norm_div = _probe_normalizer(probe_ratio, probe_ratio_io)
+                if probe_ratio_io:
                     detail["vs_prior"]["probe_ratio_blend"] = norm_div
                 norm_ratio = round(med_ratio / norm_div, 3)
                 detail["vs_prior"]["median_ratio_probe_normalized"] = (

@@ -78,3 +78,23 @@ def test_identical_subplans_reuse_one_exchange(spark, sf_dir):
     joined.collect()  # AQE finalizes reuse only once THIS plan has executed
     plan = _executed_plan(joined)
     assert "ReusedExchange" in plan or plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_probe_normalizer_blend_and_fallback():
+    """VERDICT r10 #5: the vs_prior machine-speed divisor is the
+    geometric blend of the CPU and IO probe ratios when the prior
+    recorded both legs, and the CPU-only leg otherwise (pre-r11
+    priors). Pure arithmetic — no Spark session."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import _probe_normalizer
+
+    # fallback: no IO leg in the prior
+    assert _probe_normalizer(0.98, None) == 0.98
+    # blend: geometric mean, 3-decimal rounding
+    assert _probe_normalizer(1.0, 1.0) == 1.0
+    assert _probe_normalizer(0.5, 2.0) == 1.0   # opposite-sign legs cancel
+    assert _probe_normalizer(1.44, 1.0) == 1.2
+    # a 0.0 io ratio (degenerate prior) must not zero the divisor
+    assert _probe_normalizer(0.9, 0.0) == 0.9
