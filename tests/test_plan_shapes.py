@@ -125,3 +125,26 @@ def test_exchange_budget(spark, sf_dir, name):
         "a shuffle regression; diff .explain('formatted') against the "
         "shape documented in SCALE.md before raising the budget"
     )
+
+
+def test_no_nonscalar_output_columns(spark, sf_dir):
+    """Driver-canonicalizer contract (VERDICT r10 #1): the rows-only
+    compare pandas-sorts ALL columns, and array/map/struct cells crash
+    it (g_sketch_aggregates, CORRECTNESS_r10) — while array<double>
+    hash-compares fail on rendering even when values match (the qcodes
+    convention). EVERY queries() output column must therefore be
+    scalar. Schema analysis only — no execution."""
+    offenders = {}
+    for name, fn in query_map().items():
+        df = fn(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"non-scalar output columns reach the driver: {offenders} — "
+        "flatten to scalars or comma-joined fixed-point strings"
+    )
