@@ -928,18 +928,17 @@ def _split_leakage_capped_sql() -> str:
         SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
         FROM d1 d LEFT JOIN comp c ON d.doc_id = c.u
     ),
-    sp AS (
-        SELECT doc_id, {split_case_sql()} AS split FROM d1
+    msp AS (
+        SELECT cluster_id, {split_case_sql()} AS split FROM membership
     )
     SELECT m.cluster_id,
            COUNT(*) AS n_docs,
-           COUNT(DISTINCT sp.split) AS n_splits,
-           array_to_string(list_sort(list_distinct(list(sp.split))), ',')
+           COUNT(DISTINCT m.split) AS n_splits,
+           array_to_string(list_sort(list_distinct(list(m.split))), ',')
                AS splits,
-           CAST(COUNT(DISTINCT sp.split) > 1 AS INT) AS leaky,
+           CAST(COUNT(DISTINCT m.split) > 1 AS INT) AS leaky,
            e.excluded_pairs, g.n_guarded AS guarded_buckets
-    FROM membership m
-    JOIN sp ON m.doc_id = sp.doc_id
+    FROM msp m
     CROSS JOIN exc e CROSS JOIN gb g
     GROUP BY m.cluster_id, e.excluded_pairs, g.n_guarded
     HAVING COUNT(*) >= 2
@@ -986,18 +985,24 @@ def d_split_leakage_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1_ids = fr["docs"].join(fr["s1"].select("doc_id"), "doc_id").select(
         "doc_id"
     )
-    membership = dup_clusters(d1_ids, fr["edges"], "doc_id").select(
-        "doc_id", F.col("component").alias("cluster_id")
-    )
-    splits = d1_ids.select(
-        "doc_id", dataset_split(F.col("doc_id")).alias("split")
+    # split is a PURE function of doc_id, so it is computed inline on
+    # the membership frame — a separate splits frame would re-derive
+    # d1 (a second full text-scan s1 aggregate) and pay a doc_id
+    # sort-merge join for a value `md5` produces from the key in hand.
+    # Interleaved 100x A/B (r11, two sessions, alternating order):
+    # joined form 39-153 s (median ~50), inline form 41-48 s (median
+    # ~44) — the wall gain is modest on a warm-page-cache local box,
+    # but the plan drops one full-corpus TEXT scan + one exchange,
+    # which is the certain win at 100 TB
+    msp = dup_clusters(d1_ids, fr["edges"], "doc_id").select(
+        F.col("component").alias("cluster_id"),
+        dataset_split(F.col("doc_id")).alias("split"),
     )
     exc = fr["ranked"].filter(F.col("rk") > _VERIFY_K).agg(
         F.count("*").cast("long").alias("excluded_pairs")
     )
     audit = (
-        membership.join(splits, "doc_id")
-        .groupBy("cluster_id")
+        msp.groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count_distinct("split").alias("n_splits"),
