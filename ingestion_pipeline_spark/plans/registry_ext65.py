@@ -447,12 +447,17 @@ def cascade_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     - ``docs``      full documents rows
     - ``s1``        exact-stage survivor ids (keep-min-id per
                     normalized-content md5)
+    - ``d1_ids``    exact-stage survivor doc_ids as a 1-column frame —
+                    the node set the capped cluster/leakage queries
+                    component over
     - ``ranked``    near-stage candidate pairs (id_a, id_b, nb, rk)
                     after the hot-bucket enumeration guard
     - ``guarded``   1-row census: n_guarded_buckets (buckets whose
                     enumeration the _ENUM_CAP guard bounded)
     - ``ob``        1-row census: n_over (docs holding more candidates
                     than the _VERIFY_K verify budget)
+    - ``excluded``  1-row census: excluded_pairs (candidate pairs past
+                    the verify budget — never verified, never edges)
     - ``edges``     VERIFIED near-dup pairs (id_a, id_b): in-budget
                     candidates whose exact 3-gram Jaccard qualifies —
                     the edge list the capped cluster query
@@ -564,6 +569,12 @@ def cascade_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     ob = ranked.filter(F.col("rk") == _VERIFY_K + 1).agg(
         F.count("*").cast("long").alias("n_over")
     )
+    # budget-cap census: candidate PAIRS past the verify budget (never
+    # verified, so never edges) — both capped production queries ride
+    # this one definition as a 1-row broadcast
+    excluded = ranked.filter(F.col("rk") > _VERIFY_K).agg(
+        F.count("*").cast("long").alias("excluded_pairs")
+    )
     jac = jaccard3_bp(3)
     # verified near-dup EDGES: in-budget candidates whose exact Jaccard
     # qualifies — the drop rule AND the capped cluster graph both read
@@ -601,11 +612,13 @@ def cascade_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {
         "docs": docs,
         "s1": s1,
+        "d1_ids": d1.select("doc_id"),
         "sig": sig,
         "bk": bk,
         "ranked": ranked,
         "guarded": guarded,
         "ob": ob,
+        "excluded": excluded,
         "edges": edges,
         "drops": drops,
         "obu": obu,
@@ -895,15 +908,9 @@ def d_dup_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import dup_clusters
 
     fr = cascade_frames(spark, sf_dir)
-    d1_ids = fr["docs"].join(fr["s1"].select("doc_id"), "doc_id").select(
-        "doc_id"
-    )
-    assigned = dup_clusters(d1_ids, fr["edges"], "doc_id")
-    exc = fr["ranked"].filter(F.col("rk") > _VERIFY_K).agg(
-        F.count("*").cast("long").alias("excluded_pairs")
-    )
+    assigned = dup_clusters(fr["d1_ids"], fr["edges"], "doc_id")
     return (
-        assigned.crossJoin(F.broadcast(exc))
+        assigned.crossJoin(F.broadcast(fr["excluded"]))
         .crossJoin(
             F.broadcast(
                 fr["guarded"].select(
@@ -982,9 +989,6 @@ def d_split_leakage_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import dup_clusters
 
     fr = cascade_frames(spark, sf_dir)
-    d1_ids = fr["docs"].join(fr["s1"].select("doc_id"), "doc_id").select(
-        "doc_id"
-    )
     # split is a PURE function of doc_id, so it is computed inline on
     # the membership frame — a separate splits frame would re-derive
     # d1 (a second full text-scan s1 aggregate) and pay a doc_id
@@ -994,12 +998,9 @@ def d_split_leakage_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~44) — the wall gain is modest on a warm-page-cache local box,
     # but the plan drops one full-corpus TEXT scan + one exchange,
     # which is the certain win at 100 TB
-    msp = dup_clusters(d1_ids, fr["edges"], "doc_id").select(
+    msp = dup_clusters(fr["d1_ids"], fr["edges"], "doc_id").select(
         F.col("component").alias("cluster_id"),
         dataset_split(F.col("doc_id")).alias("split"),
-    )
-    exc = fr["ranked"].filter(F.col("rk") > _VERIFY_K).agg(
-        F.count("*").cast("long").alias("excluded_pairs")
     )
     audit = (
         msp.groupBy("cluster_id")
@@ -1014,7 +1015,7 @@ def d_split_leakage_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
     )
     return (
-        audit.crossJoin(F.broadcast(exc))
+        audit.crossJoin(F.broadcast(fr["excluded"]))
         .crossJoin(
             F.broadcast(
                 fr["guarded"].select(

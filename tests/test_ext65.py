@@ -425,6 +425,61 @@ def _write_docs_fixture(tmp_path, docs):
     return str(tmp_path)
 
 
+def _guard_corpus_docs():
+    """The hot-bucket-guard corpus both capped-query recomputes share:
+    a 40-doc near-identical family (one hot bucket past _ENUM_CAP, so
+    the guard binds AND the verify budget binds), 10 unrelated docs,
+    and two exact duplicates of doc 1."""
+    from ingestion_pipeline_spark.plans.registry_ext65 import _ENUM_CAP
+
+    base = " ".join(f"w{i}" for i in range(200))
+    fam = _ENUM_CAP + 16
+    texts = [f"{base} uniq{i}" for i in range(fam)]
+    texts += [" ".join(f"f{j}x{i}" for j in range(30)) for i in range(10)]
+    texts += [texts[0], "  " + texts[0] + "  "]
+    return [(i + 1, t) for i, t in enumerate(texts)], fam
+
+
+def _verified_edges(cands, shs):
+    """The cascade's verified-edge rule in pure Python — in-budget
+    candidates (sorted by (-nb, id_a), top _VERIFY_K per target doc)
+    whose exact 3-gram Jaccard >= 0.5 — plus the past-budget pair
+    census. ONE definition for every capped-query recompute, so a
+    _VERIFY_K / threshold / tiebreak change can't silently pin stale
+    semantics in one copy."""
+    from ingestion_pipeline_spark.plans.registry_ext65 import _VERIFY_K
+
+    edges = []
+    n_excluded = 0
+    for b, lst in cands.items():
+        lst = sorted(lst)
+        n_excluded += max(0, len(lst) - _VERIFY_K)
+        for _negnb, a in lst[:_VERIFY_K]:
+            inter = len(shs[a] & shs[b])
+            union = len(shs[a] | shs[b])
+            if union and inter * 10000 // union >= 5000:
+                edges.append((a, b))
+    return edges, n_excluded
+
+
+def _min_components(survivors, edges):
+    """Min-label connected components over the verified edges
+    (path-halving union-find): doc_id -> component representative."""
+    parent = {d: d for d in survivors}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {d: find(d) for d in survivors}
+
+
 def test_verify_budget_tail_audit_recompute(spark, tmp_path):
     """Fixture-scale twin of tools/audit_verify_budget.py (VERDICT r9
     #1): a corpus where a QUALIFYING partner genuinely hides past the
@@ -516,47 +571,16 @@ def test_dup_clusters_capped_recompute(spark, tmp_path):
     import duckdb
 
     from ingestion_pipeline_spark.plans import REGISTRY
-    from ingestion_pipeline_spark.plans.registry_ext65 import (
-        _ENUM_CAP,
-        _VERIFY_K,
-    )
 
-    base = " ".join(f"w{i}" for i in range(200))
-    fam = _ENUM_CAP + 16
-    texts = [f"{base} uniq{i}" for i in range(fam)]
-    texts += [" ".join(f"f{j}x{i}" for j in range(30)) for i in range(10)]
-    texts += [texts[0], "  " + texts[0] + "  "]
-    docs = [(i + 1, t) for i, t in enumerate(texts)]
+    docs, fam = _guard_corpus_docs()
     sf_dir = _write_docs_fixture(tmp_path, docs)
 
     survivors, drops, n_guarded, _ob, _obu, cands, shs = (
         _cascade_recompute(docs, return_cands=True)
     )
-    # verified edges: in-budget qualifying pairs (the drop rule's edges)
-    edges = []
-    n_excluded = 0
-    for b, lst in cands.items():
-        lst = sorted(lst)
-        n_excluded += max(0, len(lst) - _VERIFY_K)
-        for _negnb, a in lst[:_VERIFY_K]:
-            inter = len(shs[a] & shs[b])
-            union = len(shs[a] | shs[b])
-            if union and inter * 10000 // union >= 5000:
-                edges.append((a, b))
+    edges, n_excluded = _verified_edges(cands, shs)
     assert edges, "fixture must form clusters"
-    parent = {d: d for d in survivors}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    want = {d: find(d) for d in survivors}
+    want = _min_components(survivors, edges)
     rows = REGISTRY["d_dup_clusters_capped"].spark(spark, sf_dir).collect()
     got = {r["doc_id"]: r["component"] for r in rows}
     assert got == want
@@ -596,45 +620,16 @@ def test_split_leakage_capped_recompute(spark, tmp_path):
     import duckdb
 
     from ingestion_pipeline_spark.plans import REGISTRY
-    from ingestion_pipeline_spark.plans.registry_ext65 import (
-        _ENUM_CAP,
-        _VERIFY_K,
-    )
 
-    base = " ".join(f"w{i}" for i in range(200))
-    fam = _ENUM_CAP + 16
-    texts = [f"{base} uniq{i}" for i in range(fam)]
-    texts += [" ".join(f"f{j}x{i}" for j in range(30)) for i in range(10)]
-    texts += [texts[0], "  " + texts[0] + "  "]
-    docs = [(i + 1, t) for i, t in enumerate(texts)]
+    docs, fam = _guard_corpus_docs()
     sf_dir = _write_docs_fixture(tmp_path, docs)
 
     survivors, drops, n_guarded, _ob, _obu, cands, shs = (
         _cascade_recompute(docs, return_cands=True)
     )
-    edges = []
-    n_excluded = 0
-    for b, lst in cands.items():
-        lst = sorted(lst)
-        n_excluded += max(0, len(lst) - _VERIFY_K)
-        for _negnb, a in lst[:_VERIFY_K]:
-            inter = len(shs[a] & shs[b])
-            union = len(shs[a] | shs[b])
-            if union and inter * 10000 // union >= 5000:
-                edges.append((a, b))
+    edges, n_excluded = _verified_edges(cands, shs)
     assert edges, "fixture must form clusters"
-    parent = {d: d for d in survivors}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    comp = _min_components(survivors, edges)
 
     def split_of(doc_id: int) -> str:
         h = int(hashlib.md5(f"split0{doc_id}".encode()).hexdigest()[:4], 16)
@@ -642,7 +637,7 @@ def test_split_leakage_capped_recompute(spark, tmp_path):
 
     clusters: dict[int, list[int]] = {}
     for d in survivors:
-        clusters.setdefault(find(d), []).append(d)
+        clusters.setdefault(comp[d], []).append(d)
     want = {}
     for cid, members in clusters.items():
         if len(members) < 2:

@@ -133,17 +133,27 @@ def test_no_nonscalar_output_columns(spark, sf_dir):
     it (g_sketch_aggregates, CORRECTNESS_r10) — while array<double>
     hash-compares fail on rendering even when values match (the qcodes
     convention). EVERY queries() output column must therefore be
-    scalar. Schema analysis only — no execution."""
+    scalar. Only the schema is read, but BUILDING the frame is not
+    free: the iterative builders (graph family, kmeans, cascade) run
+    jobs and pin persisted/localCheckpoint blocks at construction time
+    — so finish with the bench-loop hygiene sweep, or the leaked
+    blocks contaminate later tests in the shared session."""
     offenders = {}
-    for name, fn in query_map().items():
-        df = fn(spark, sf_dir)
-        bad = [
-            f.name
-            for f in df.schema.fields
-            if f.dataType.typeName() in ("array", "map", "struct")
-        ]
-        if bad:
-            offenders[name] = bad
+    try:
+        for name, fn in query_map().items():
+            df = fn(spark, sf_dir)
+            bad = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if bad:
+                offenders[name] = bad
+    finally:
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
     assert not offenders, (
         f"non-scalar output columns reach the driver: {offenders} — "
         "flatten to scalars or comma-joined fixed-point strings"

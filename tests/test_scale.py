@@ -85,10 +85,11 @@ def test_probe_normalizer_blend_and_fallback():
     geometric blend of the CPU and IO probe ratios when the prior
     recorded both legs, and the CPU-only leg otherwise (pre-r11
     priors). Pure arithmetic — no Spark session."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
-    from bench import _probe_normalizer
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _min_opt, _probe_normalizer
 
     # fallback: no IO leg in the prior
     assert _probe_normalizer(0.98, None) == 0.98
@@ -98,3 +99,11 @@ def test_probe_normalizer_blend_and_fallback():
     assert _probe_normalizer(1.44, 1.0) == 1.2
     # a 0.0 io ratio (degenerate prior) must not zero the divisor
     assert _probe_normalizer(0.9, 0.0) == 0.9
+
+    # fail-soft IO leg (_env_probe_io returns None on an unreadable
+    # table): the min-of-legs helper must tolerate missing legs so the
+    # always-emit-final-JSON contract survives a probe failure
+    assert _min_opt(1.0, 2.0) == 1.0
+    assert _min_opt(None, 2.0) == 2.0
+    assert _min_opt(1.0, None) == 1.0
+    assert _min_opt(None, None) is None
