@@ -64,3 +64,4 @@ from . import registry_ext62  # noqa: F401  — DSIR importance, EG domain rewei
 from . import registry_ext63  # noqa: F401  — tokenizer fertility, token budget, vocab overlap, calibration bins
 from . import registry_ext64  # noqa: F401  — mixture manifest, LSH band tuning, Benford deviation
 from . import registry_ext65  # noqa: F401  — join-skew profile, minhash calibration, dedup cascade
+from . import registry_ext66  # noqa: F401  — capped production graph diagnostics: triangle census

@@ -830,14 +830,12 @@ def pipeline_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr["survivors"].select("doc_id", "source", "n_chars")
 
 
-# shared oracle CTE block #2: verified edges -> recursive transitive
-# closure -> min-label components -> past-budget census. Appended after
-# _CASCADE_SQL_CTES by BOTH capped production queries
-# (d_dup_clusters_capped, d_split_leakage_capped) so the edge rule and
-# the component rule cannot drift between the cluster assignment and
-# the release gate that audits it.
-_EDGE_COMP_CTES = f"""
-    ed AS (
+# shared oracle CTE pieces: the VERIFIED edge rule (``ed``) and the
+# past-budget census (``exc``) are standalone constants so the capped
+# graph-diagnostic tranche (registry_ext66: triangle census) can gate
+# on the byte-identical edge definition without dragging in the
+# recursive component closure it doesn't need.
+_ED_CTE = f"""ed AS (
         SELECT r.id_a, r.id_b
         FROM rk r
         JOIN sig a ON a.doc_id = r.id_a
@@ -847,7 +845,23 @@ _EDGE_COMP_CTES = f"""
               // CAST(len(a.sh) + len(b.sh)
                       - len(list_intersect(a.sh, b.sh)) AS BIGINT)
               >= {_NEAR_BP}
-    ),
+    )"""
+
+_EXC_CTE = f"""exc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS excluded_pairs FROM rk
+        WHERE rk > {_VERIFY_K}
+    )"""
+
+# shared oracle CTE block #2: verified edges -> recursive transitive
+# closure -> min-label components -> past-budget census. Appended after
+# _CASCADE_SQL_CTES by BOTH capped production queries
+# (d_dup_clusters_capped, d_split_leakage_capped) so the edge rule and
+# the component rule cannot drift between the cluster assignment and
+# the release gate that audits it. Composed from _ED_CTE/_EXC_CTE —
+# byte-identical to the r11-graded form (pinned by
+# tests/test_ext66.py::test_edge_cte_composition_stable).
+_EDGE_COMP_CTES = f"""
+    {_ED_CTE},
     edges AS (
         SELECT id_a AS u, id_b AS v FROM ed
         UNION
@@ -861,10 +875,7 @@ _EDGE_COMP_CTES = f"""
     comp AS (
         SELECT u, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
     ),
-    exc AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS excluded_pairs FROM rk
-        WHERE rk > {_VERIFY_K}
-    )
+    {_EXC_CTE}
 """
 
 

@@ -55,6 +55,10 @@ NLJ_ALLOWED = {
                                # per-doc component assignment
     "d_split_leakage_capped",  # same two 1-row censuses broadcast
                                # onto the per-cluster audit rows
+    "g_triangle_census_capped",  # five 1-row aggregates (triangles,
+                                 # edges, degree stats, two cap
+                                 # censuses) cross-joined into the
+                                 # single census row
     "d_minhash_jaccard_calibration",  # 1-row pair-census (total vs sampled) broadcast onto the capped calibration rows
     "g_triangle_counts",   # 1-row edge/node-count aggregates broadcast onto 1-row triangle count
     "g_histogram_totalprice",  # 1-row (min, max) bounds broadcast onto the scan
