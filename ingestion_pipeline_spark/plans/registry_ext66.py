@@ -1,6 +1,6 @@
 """Sixty-sixth registry tranche (round 12, the one allowed
-micro-tranche): the PRODUCTION form of the graph diagnostics —
-starting with the triangle census (VERDICT r11 #2).
+micro-tranche): the PRODUCTION forms of the graph diagnostics —
+triangle census, seeded PageRank, LPA communities (VERDICT r11 #2).
 
 The graph-diagnostic family (``g_triangle_counts``,
 ``d_personalized_pagerank``, ``d_lpa_communities``) composes from the
@@ -25,6 +25,13 @@ constants so the whole path stays value-gated.
   keep one representative; a CHAIN of borderline pairs (closure_bp →
   0 with the same edge count) is gradual drift where keep-one loses
   real content — triage before dropping.
+- ``d_personalized_pagerank_capped`` — seeded fixed-point PageRank
+  (the crawl-frontier / seed-expansion primitive) over the same
+  verified edges, same integer-arithmetic contract and unrolled
+  oracle as the raw ``d_personalized_pagerank``.
+- ``d_lpa_communities_capped`` — synchronous majority-vote label
+  propagation over the same verified edges, same all-integer rounds
+  and unrolled oracle as the raw ``d_lpa_communities``.
 
 Reference provenance: beyond-reference training-data surface (the
 reference dedups by primary key only, processor.py:55-59). Triangle
@@ -176,3 +183,157 @@ def g_triangle_census_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "excluded_pairs",
         "guarded_buckets",
     )
+
+
+def _ppr_capped_sql() -> str:
+    # late imports keep tranche modules import-order independent (the
+    # registry_ext65 convention for cross-tranche SQL constants)
+    from ..operators.graph import PR_SCALE
+    from .pagerank_sql import personalized_pagerank_fp_ctes
+
+    # MATERIALIZED pins the cascade to ONE evaluation: without it the
+    # 10 unrolled rounds re-inline the full cascade chain through
+    # pr_edges and the oracle runs 204 s at sf0.01 (2.6 s with) —
+    # same reason _lpa_ctes materializes lp_edges
+    return f"""
+    WITH {_CASCADE_SQL_CTES},
+    {_ED_CTE},
+    {_EXC_CTE},
+    pairs AS MATERIALIZED (SELECT id_a, id_b FROM ed),
+    {personalized_pagerank_fp_ctes("n % 50 = 0", 10)}
+    SELECT pr.n AS doc_id, pr.r AS rank_fp,
+           ROUND(CAST(pr.r AS DOUBLE) / {PR_SCALE}, 9) AS rank,
+           e.excluded_pairs, g.n_guarded AS guarded_buckets
+    FROM pr_r10 pr
+    CROSS JOIN exc e CROSS JOIN gb g
+    WHERE pr.r > 0
+    """
+
+
+@register(
+    "d_personalized_pagerank_capped",
+    _ppr_capped_sql(),
+    "The PRODUCTION form of seeded proximity ranking (VERDICT r11 #2): "
+    "personalized fixed-point PageRank — restart mass returns to the "
+    "seed set (every 50th doc_id among the graph's nodes, the stand-in "
+    "for 'vetted' documents), so rank measures proximity to the seeds "
+    "— over the dedup cascade's VERIFIED edge list instead of "
+    "d_personalized_pagerank's cosine-threshold graph over raw "
+    "embeddings (281.8 s raw at 100x in the r11 sweep; its docstring "
+    "declares the post-dedup input contract, this query IS that "
+    "contract shipped). Same integer-arithmetic contract as the raw "
+    "query (1e-12 BIGINT rank units, div shares, 85/100 damping, 10 "
+    "fixed rounds), so the oracle unrolls the rounds over the SAME "
+    "shared edge rule (_ED_CTE — the constant the triangle census, "
+    "capped clusters and leakage gate also ride; zero drift) and the "
+    "full value hash gates the result; zero-rank nodes (unreachable "
+    "from seeds) are filtered on both sides. Cap censuses "
+    "(excluded_pairs, guarded_buckets) ride every row as 1-row "
+    "broadcasts. Per round: one edges-ranks shuffle + one partial-"
+    "aggregated contribution sum — and the verified edge list is "
+    "<= 32 x docs by construction, so at 100 TB each round rides "
+    "skinny (id, rank) shuffles over a graph ~1000x smaller than the "
+    "raw all-pairs form.",
+)
+def d_personalized_pagerank_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import PR_SCALE, personalized_pagerank_fixed_point
+
+    fr = cascade_frames(spark, sf_dir)
+    edges = fr["edges"].localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("id_a").alias("n"))
+        .union(edges.select(F.col("id_b").alias("n")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("n") % 50 == 0)
+    ranks = personalized_pagerank_fixed_point(
+        edges, seeds, "id_a", "id_b", iters=10
+    )
+    return (
+        ranks.filter(F.col("rank_fp") > 0)
+        .crossJoin(F.broadcast(fr["excluded"]))
+        .crossJoin(
+            F.broadcast(
+                fr["guarded"].select(
+                    F.col("n_guarded_buckets").alias("guarded_buckets")
+                )
+            )
+        )
+        .select(
+            F.col("n").alias("doc_id"),
+            "rank_fp",
+            F.round(
+                F.col("rank_fp").cast("double") / F.lit(PR_SCALE), 9
+            ).alias("rank"),
+            "excluded_pairs",
+            "guarded_buckets",
+        )
+    )
+
+
+def _lpa_capped_sql() -> str:
+    from .registry_ext52 import _ITERS, _lpa_ctes
+
+    return f"""
+    WITH {_CASCADE_SQL_CTES},
+    {_ED_CTE},
+    {_EXC_CTE},
+    pairs AS (SELECT id_a, id_b FROM ed),
+    {_lpa_ctes(_ITERS)}
+    SELECT lb.n AS doc_id, lb.label AS community,
+           e.excluded_pairs, g.n_guarded AS guarded_buckets
+    FROM lb{_ITERS} lb
+    CROSS JOIN exc e CROSS JOIN gb g
+    """
+
+
+def _lpa_capped_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+    from .registry_ext52 import _ITERS
+
+    fr = cascade_frames(spark, sf_dir)
+    edges = fr["edges"].localCheckpoint(eager=True)
+    return (
+        label_propagation(edges, "id_a", "id_b", iters=_ITERS)
+        .crossJoin(F.broadcast(fr["excluded"]))
+        .crossJoin(
+            F.broadcast(
+                fr["guarded"].select(
+                    F.col("n_guarded_buckets").alias("guarded_buckets")
+                )
+            )
+        )
+        .select(
+            F.col("n").alias("doc_id"),
+            "community",
+            "excluded_pairs",
+            "guarded_buckets",
+        )
+    )
+
+
+register(
+    "d_lpa_communities_capped",
+    _lpa_capped_sql(),
+    "The PRODUCTION form of dup-community detection (VERDICT r11 #2): "
+    "synchronous majority-vote label propagation (Raghavan et al. "
+    "2007, the self-vote variant, 4 fixed rounds, ties to the "
+    "smallest label) over the dedup cascade's VERIFIED edge list "
+    "instead of d_lpa_communities' cosine-threshold graph over raw "
+    "embeddings (200.2 s raw at 100x in the r11 sweep; its docstring "
+    "declares the post-dedup input contract, this query IS that "
+    "contract shipped). Where the capped cluster assignment "
+    "(d_dup_clusters_capped) floods the component MINIMUM "
+    "(connectivity), LPA stops at density boundaries — one verified-"
+    "edge component can hold several communities, which is the right "
+    "granularity for 'which dup-family wrote this boilerplate'. "
+    "All-integer votes and fixed iterations, so the oracle unrolls "
+    "the rounds over the SAME shared edge rule (_ED_CTE; zero drift "
+    "with the triangle census, capped clusters and leakage gate) and "
+    "the full value hash gates the result. Cap censuses ride every "
+    "row as 1-row broadcasts. Per round: one edges-labels shuffle + "
+    "one (node, label) count + one argmax window — the connected-"
+    "components cost envelope over a budget-bounded edge list.",
+)(_lpa_capped_spark)

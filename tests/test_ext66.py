@@ -157,3 +157,114 @@ def test_triangle_census_capped_empty_graph(spark, tmp_path):
     )
     orow = con.execute(REGISTRY["g_triangle_census_capped"].sql).fetchall()
     assert len(orow) == 1 and list(orow[0]) == [0] * 8
+
+
+def test_lpa_communities_capped_recompute(spark, tmp_path):
+    """d_lpa_communities_capped on the clique-extended guard corpus:
+    density communities over the verified edges — the 40-doc star
+    family is one community, the 3-doc clique another, and the Spark
+    result matches the DuckDB unrolled-rounds oracle row for row."""
+    from ingestion_pipeline_spark.plans import REGISTRY
+
+    docs, fam, clique_ids = _triangle_corpus_docs()
+    sf_dir = _write_docs_fixture(tmp_path, docs)
+    rows = (
+        REGISTRY["d_lpa_communities_capped"].spark(spark, sf_dir).collect()
+    )
+    got = {r["doc_id"]: r["community"] for r in rows}
+    # star family members present in the graph share doc 1's community
+    star = [d for d in got if d <= fam]
+    assert star and all(got[d] == got[1] for d in star)
+    # the clique is one community, distinct from the star's
+    a, b, c = clique_ids
+    assert got[a] == got[b] == got[c] == a
+    assert got[a] != got[1]
+    # censuses ride every row
+    assert {(r["excluded_pairs"], r["guarded_buckets"]) for r in rows} == {
+        (rows[0]["excluded_pairs"], rows[0]["guarded_buckets"])
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            REGISTRY["d_lpa_communities_capped"].sql
+        ).fetchall()
+    }
+    assert {
+        r["doc_id"]: (r["community"], r["excluded_pairs"], r["guarded_buckets"])
+        for r in rows
+    } == oracle
+
+
+def test_ppr_capped_seed_concentration(spark, tmp_path):
+    """d_personalized_pagerank_capped on a corpus whose clique family
+    contains the ONLY seed (doc 100): restart mass stays inside the
+    clique's component, the star family (unreachable from the seed)
+    is rank-0 and filtered on both sides, and Spark matches the
+    unrolled oracle bit for bit."""
+    from ingestion_pipeline_spark.plans import REGISTRY
+
+    docs, _fam = _guard_corpus_docs()
+    base2 = " ".join(f"tri{i}" for i in range(120))
+    clique = [(d, f"{base2} tail{d}") for d in (100, 101, 102)]
+    sf_dir = _write_docs_fixture(tmp_path, docs + clique)
+
+    rows = (
+        REGISTRY["d_personalized_pagerank_capped"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    got = {r["doc_id"]: r["rank_fp"] for r in rows}
+    # only the clique's component is reachable from seed 100
+    assert set(got) == {100, 101, 102}
+    # the seed holds the restart mass: strictly top-ranked
+    assert got[100] > got[101] and got[100] > got[102]
+    # fixed-point ranks are exactly reproducible: oracle bit-parity
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            REGISTRY["d_personalized_pagerank_capped"].sql
+        ).fetchall()
+    }
+    assert {
+        r["doc_id"]: (
+            r["rank_fp"], r["rank"], r["excluded_pairs"],
+            r["guarded_buckets"],
+        )
+        for r in rows
+    } == oracle
+
+
+def test_ppr_capped_no_seeds_empty(spark, tmp_path):
+    """No graph node divisible by 50 -> zero seeds: the operator
+    returns 0 rows (all ranks zero, filtered) and the oracle agrees
+    instead of dividing by zero — the degenerate release shape."""
+    from ingestion_pipeline_spark.plans import REGISTRY
+
+    base2 = " ".join(f"tri{i}" for i in range(120))
+    docs = [(d, f"{base2} tail{d}") for d in (1, 2, 3)]
+    sf_dir = _write_docs_fixture(tmp_path, docs)
+    assert (
+        REGISTRY["d_personalized_pagerank_capped"]
+        .spark(spark, sf_dir)
+        .count()
+        == 0
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    assert (
+        con.execute(REGISTRY["d_personalized_pagerank_capped"].sql).fetchall()
+        == []
+    )

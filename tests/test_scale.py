@@ -107,3 +107,28 @@ def test_probe_normalizer_blend_and_fallback():
     assert _min_opt(None, 2.0) == 2.0
     assert _min_opt(1.0, None) == 1.0
     assert _min_opt(None, None) is None
+
+
+def test_mover_twin_exclusion_split():
+    """VERDICT r11 #4: documented reference twins (fixed-cost by
+    design, e.g. tx_bpe_tokenize_fold's compile-bound unrolled fold)
+    are split OUT of regressions_gt_1p5x — they land in the separate
+    twin bucket (recorded, never adjudicated as code drift). Pure
+    arithmetic — no Spark session."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _movers_gt_1p5x
+
+    times = {"a": 3.0, "twin": 4.8, "b": 1.0, "c": 0.06}
+    prior = {"a": 1.0, "twin": 2.9, "b": 0.9, "c": 0.01}
+    common = sorted(times)
+    twins = {"twin"}
+    movers = _movers_gt_1p5x(common, times, prior, set(common) - twins)
+    twin_movers = _movers_gt_1p5x(common, times, prior, twins)
+    # 'a' is a real 3x mover; 'twin' moved 1.66x but lands in the twin
+    # bucket; 'b' is under threshold; 'c' is under the 50 ms jitter
+    # floor (0.06/0.05 = 1.2x after flooring)
+    assert movers == {"a": [1.0, 3.0]}
+    assert twin_movers == {"twin": [2.9, 4.8]}
