@@ -59,6 +59,11 @@ NLJ_ALLOWED = {
                                  # edges, degree stats, two cap
                                  # censuses) cross-joined into the
                                  # single census row
+    "d_personalized_pagerank_capped",  # the two 1-row cap censuses
+                                       # broadcast onto the per-doc
+                                       # rank rows
+    "d_lpa_communities_capped",  # same two 1-row censuses broadcast
+                                 # onto the per-doc community rows
     "d_minhash_jaccard_calibration",  # 1-row pair-census (total vs sampled) broadcast onto the capped calibration rows
     "g_triangle_counts",   # 1-row edge/node-count aggregates broadcast onto 1-row triangle count
     "g_histogram_totalprice",  # 1-row (min, max) bounds broadcast onto the scan
