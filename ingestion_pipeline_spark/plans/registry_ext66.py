@@ -51,6 +51,7 @@ from .registry_ext65 import (
     _CASCADE_SQL_CTES,
     _ED_CTE,
     _EXC_CTE,
+    _VERIFY_K,
     cascade_frames,
 )
 
@@ -120,7 +121,7 @@ from .registry_ext65 import (
     "verify budget, guarded_buckets) ride the row as 1-row "
     "broadcasts — what the caps exclude from the graph, and hence "
     "from this census, is never silent. At 100 TB the verified edge "
-    "list is <= " "32" " x docs by construction and the triangle join "
+    "list is <= " f"{_VERIFY_K}" " x docs by construction and the triangle join "
     "legs ride skinny (id,id) shuffles; per-node degree is bounded on "
     "the id_b side by the verify budget, and the id_a side "
     "(dup-family representatives) is exactly the hub census "
@@ -231,7 +232,7 @@ def _ppr_capped_sql() -> str:
     "(excluded_pairs, guarded_buckets) ride every row as 1-row "
     "broadcasts. Per round: one edges-ranks shuffle + one partial-"
     "aggregated contribution sum — and the verified edge list is "
-    "<= 32 x docs by construction, so at 100 TB each round rides "
+    "<= " f"{_VERIFY_K}" " x docs by construction, so at 100 TB each round rides "
     "skinny (id, rank) shuffles over a graph ~1000x smaller than the "
     "raw all-pairs form.",
 )

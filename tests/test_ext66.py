@@ -55,10 +55,11 @@ def _triangle_corpus_docs():
     return docs + clique, fam, [d for d, _ in clique]
 
 
-def _census_recompute(survivors, edges):
+def _census_recompute(edges):
     """Independent triangle/wedge census: adjacency over the canonical
     (a < b) verified edges, triangles by neighbor-set intersection,
-    wedges as sum C(deg, 2)."""
+    wedges as sum C(deg, 2). (Derived entirely from the edge list —
+    the census covers every edge endpoint, not the survivor set.)"""
     adj: dict[int, set[int]] = {}
     for a, b in edges:
         assert a < b, "cascade edges must be canonically oriented"
@@ -92,11 +93,11 @@ def test_triangle_census_capped_recompute(spark, tmp_path):
     docs, _fam, clique_ids = _triangle_corpus_docs()
     sf_dir = _write_docs_fixture(tmp_path, docs)
 
-    survivors, _drops, n_guarded, _ob, _obu, cands, shs = (
+    _survivors, _drops, n_guarded, _ob, _obu, cands, shs = (
         _cascade_recompute(docs, return_cands=True)
     )
     edges, n_excluded = _verified_edges(cands, shs)
-    want = _census_recompute(survivors, edges)
+    want = _census_recompute(edges)
     # the corpus must actually exercise both shapes
     assert want["n_triangles"] >= 1, "clique family must close a triangle"
     assert want["n_wedges"] > 3 * want["n_triangles"], (
