@@ -225,8 +225,6 @@ def label_propagation(
     )
     labels = nodes.select("n", F.col("n").alias("label"))
 
-    from pyspark.sql.window import Window
-
     for _ in range(iters):
         neigh = sym.join(
             labels.select(F.col("n").alias("s"), "label"), "s"
@@ -236,11 +234,22 @@ def label_propagation(
             .groupBy("n", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("label"))
+        # argmax-by-aggregation (r12 optimization): min of the
+        # lexicographic struct (-c, label) IS "highest count, ties to
+        # smallest label" — replaces the row_number window (full sort
+        # of the vote list per node + filter) with a partially
+        # aggregatable min that combines map-side (guide §2.3).
         labels = (
-            votes.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("n", "label")
+            votes.groupBy("n")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("neg_c"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("top")
+            )
+            .select("n", F.col("top.label").alias("label"))
             .localCheckpoint(eager=True)
         )
 
@@ -287,27 +296,35 @@ def pagerank_fixed_point(
     n_total = nodes.count()
     if n_total == 0:
         return nodes.select("n", F.lit(0).cast("long").alias("rank_fp"))
+    # Out-degree attached to every edge ONCE, before the loop (r12
+    # optimization, guide §2.4): the per-round ranks⋈deg join — one
+    # exchange of the full rank vector per iteration — disappears, and
+    # the per-edge share `rank_fp div deg` is value-identical to
+    # joining a per-node share (deg is constant per s, div is exact).
     deg = fwd.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    fwd_deg = fwd.join(deg, "s").localCheckpoint(eager=True)
 
     init = PR_SCALE // n_total
     base = (15 * PR_SCALE) // (100 * n_total)
     ranks = nodes.select("n", F.lit(init).cast("long").alias("rank_fp"))
 
     for it in range(iters):
-        shares = ranks.join(deg, ranks.n == deg.s).select(
-            "s", F.expr("rank_fp div deg").alias("share")
-        )
-        contribs = (
-            fwd.join(shares, "s")
+        # Symmetrized graph ⇒ every node has ≥1 in-edge, so the contrib
+        # aggregate already covers the full node universe — the old
+        # per-round nodes left-join (another full exchange) was
+        # redundant and is gone (r12; equality pinned by
+        # tests/test_graph_fixture_exact.py and the unrolled oracles).
+        ranks = (
+            fwd_deg.join(ranks.withColumnRenamed("n", "s"), "s")
             .groupBy(F.col("d").alias("n"))
-            .agg(F.sum("share").alias("contrib"))
-        )
-        ranks = nodes.join(contribs, "n", "left").select(
-            "n",
-            (
-                F.lit(base).cast("long")
-                + F.expr("(85 * coalesce(contrib, 0)) div 100")
-            ).alias("rank_fp"),
+            .agg(F.sum(F.expr("rank_fp div deg")).alias("contrib"))
+            .select(
+                "n",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr("(85 * contrib) div 100")
+                ).alias("rank_fp"),
+            )
         )
         if (it + 1) % checkpoint_interval == 0 or it == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
@@ -359,6 +376,21 @@ def personalized_pagerank_fixed_point(
     flagged = nodes.join(
         F.broadcast(seed_nodes.select("n", F.lit(1).alias("is_seed"))), "n", "left"
     ).select("n", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+    # Static per-edge frame built ONCE (r12 optimization, guide §2.4):
+    # out-degree of the source AND seed flag of the destination ride
+    # every edge, so the loop needs neither the per-round ranks⋈deg
+    # join nor the per-round flagged left-join — two full rank-vector
+    # exchanges per iteration removed. Share arithmetic is unchanged
+    # (`rank_fp div deg` per edge == per-node share joined out), and
+    # the symmetrized graph guarantees the contrib aggregate covers
+    # every node, so the row set is identical.
+    fwd_deg = (
+        fwd.join(deg, "s")
+        .join(
+            flagged.select(F.col("n").alias("d"), "is_seed"), "d"
+        )
+        .localCheckpoint(eager=True)
+    )
     init = PR_SCALE // n_seeds
     base = (15 * PR_SCALE) // (100 * n_seeds)
     ranks = flagged.select(
@@ -366,20 +398,22 @@ def personalized_pagerank_fixed_point(
     )
 
     for it in range(iters):
-        shares = ranks.join(deg, ranks.n == deg.s).select(
-            "s", F.expr("rank_fp div deg").alias("share")
-        )
-        contribs = (
-            fwd.join(shares, "s")
+        ranks = (
+            fwd_deg.join(
+                ranks.withColumnRenamed("n", "s"), "s"
+            )
             .groupBy(F.col("d").alias("n"))
-            .agg(F.sum("share").alias("contrib"))
-        )
-        ranks = flagged.join(contribs, "n", "left").select(
-            "n",
-            (
-                (F.col("is_seed") * F.lit(base)).cast("long")
-                + F.expr("(85 * coalesce(contrib, 0)) div 100")
-            ).alias("rank_fp"),
+            .agg(
+                F.sum(F.expr("rank_fp div deg")).alias("contrib"),
+                F.max("is_seed").alias("is_seed"),
+            )
+            .select(
+                "n",
+                (
+                    (F.col("is_seed") * F.lit(base)).cast("long")
+                    + F.expr("(85 * contrib) div 100")
+                ).alias("rank_fp"),
+            )
         )
         if (it + 1) % checkpoint_interval == 0 or it == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
