@@ -492,7 +492,15 @@ def incremental_novel(
     batch rows with their original columns."""
     b = batch.withColumn("_chash", content_md5(F.col(text_col)))
     c_hashes = corpus.select(content_md5(F.col(text_col)).alias("_chash")).distinct()
-    exact_novel = b.join(c_hashes, "_chash", "left_anti")
+    # consumed twice (shingle branch + final anti-join): materialize
+    # the exact-stage survivors once (r12, guide §2.4) — the batch is
+    # the small side of incremental ingestion by construction, and the
+    # unmaterialized plan re-ran the batch scan + archive-hash
+    # anti-join per consumer (scan census: 5 scans in the registry
+    # query; 3 after).
+    exact_novel = b.join(c_hashes, "_chash", "left_anti").localCheckpoint(
+        eager=False
+    )
 
     b_sh = exact_novel.select(
         F.col(id_col).alias("_bid"),

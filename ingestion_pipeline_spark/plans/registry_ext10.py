@@ -87,12 +87,22 @@ _SURVIVORS_SQL = f"""
 
 
 def _survivors_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     hashed = docs.withColumn("content_hash", tx.content_md5(F.col("text")))
-    canon = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("canonical_id"))
-    survivors = hashed.join(canon, "content_hash").filter(
-        F.col("doc_id") == F.col("canonical_id")
-    ).select("doc_id", "source", "text")
+    # keep-min-id per content hash as ONE window over ONE scan (r12,
+    # guide §2.4): the old groupBy + join-back shape scanned documents
+    # twice (the hash pass under the aggregate and again under the join)
+    # and computed the md5 normalization per scan; min() over the
+    # content_hash partition selects the identical survivor set from a
+    # single scan and a single exchange.
+    canonical = F.min("doc_id").over(Window.partitionBy("content_hash"))
+    survivors = (
+        hashed.withColumn("__canon", canonical)
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .select("doc_id", "source", "text")
+    )
     scored = tx.langid_join(survivors, "text", "doc_id").withColumn(
         "quality", F.round(tx.quality_score(F.col("text")), 6)
     )

@@ -452,10 +452,17 @@ def v_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # s and c are skinny per-user stage frames, each consumed by TWO
+    # downstream branches (the next stage's join + the final staged
+    # left-joins); without materialization the compiled plan expanded
+    # the whole upstream per branch — 6 event scans in one query (r12
+    # scan census). Checkpointed, the plan keeps the three inherent
+    # pushed-filter scans of events (one per stage; guide §2.4).
     s = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t0"))
+        .localCheckpoint(eager=False)
     )
     day = F.expr("INTERVAL 24 HOUR")
     c = (
@@ -464,6 +471,7 @@ def w_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") > F.col("t0")) & (F.col("ts") <= F.col("t0") + day))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

@@ -135,13 +135,22 @@ def d_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("n_before").cast("long").alias("total"), F.count("*").alias("s")
     )
-    rates = counts.join(F.broadcast(tot)).select(
-        "source",
-        "n_before",
-        F.least(
-            F.lit(65536).cast("long"),
-            F.expr("(65536 * total) div (s * n_before)"),
-        ).alias("threshold"),
+    # |sources|-bounded and consumed twice (the kept-gate broadcast +
+    # the final join); unmaterialized, each consumer re-ran the full
+    # per-source count scan (r12 scan census: 5 parquet scans in one
+    # query). Checkpointed, documents is scanned the two inherent
+    # times (count pass + keep pass; guide §2.4).
+    rates = (
+        counts.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_before",
+            F.least(
+                F.lit(65536).cast("long"),
+                F.expr("(65536 * total) div (s * n_before)"),
+            ).alias("threshold"),
+        )
+        .localCheckpoint(eager=False)
     )
     kept = (
         docs.join(F.broadcast(rates.select("source", "threshold")), "source")

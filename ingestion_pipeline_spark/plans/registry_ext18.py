@@ -75,19 +75,29 @@ def _positions(col):
     "means daily cost is O(batch) + one broadcast, not O(archive).",
 )
 def d_bloom_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", content_md5(F.col("text")).alias("content_hash")
+    # (doc_id, source, content_hash) materialized ONCE (r12, guide
+    # §2.4/§5): the branchy bloom dataflow below consumes this frame
+    # from ~10 places, and the compiled plan re-executed the full
+    # text scan + md5 normalization for each (r12 scan census: 37
+    # parquet scans of documents in ONE query). The frame is 3 skinny
+    # columns — at any archive size it is the cheap thing to persist;
+    # the text column never leaves the scan.
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", content_md5(F.col("text")).alias("content_hash")
+        )
+        .localCheckpoint(eager=False)
     )
     corpus = docs.filter(F.col("doc_id") < _BATCH_SPLIT)
     batch = docs.filter(F.col("doc_id") >= _BATCH_SPLIT)
 
     # the "bitmap": distinct set positions of the archive, unioned over
-    # the k hash slices — one narrow long column, broadcastable
-    pos_union = None
-    for i in range(_K):
-        p = corpus.select(_positions(F.col("content_hash"))[i].alias("p"))
-        pos_union = p if pos_union is None else pos_union.union(p)
-    bitmap = pos_union.distinct()
+    # the k hash slices — one narrow long column, broadcastable. ONE
+    # pass with a k-wide explode instead of k unioned scans (r12).
+    bitmap = corpus.select(
+        F.explode(F.array(*_positions(F.col("content_hash")))).alias("p")
+    ).distinct()
 
     probe = batch.select("doc_id", "source", "content_hash", *_positions(F.col("content_hash")))
     # candidate iff ALL k positions are set: semi-join each slice

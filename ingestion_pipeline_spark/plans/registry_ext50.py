@@ -138,18 +138,18 @@ def chunk_dedup_rebuild(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # Identical value: a doc explodes into exactly n_chunks rows, and
     # a token-less doc yields 0 both ways (no exploded rows / ceil 0).
     totals = with_tk.select("doc_id", n_chunks.alias("n_chunks"))
-    return (
-        docs.select("doc_id")
-        .join(rebuilt, "doc_id", "left")
-        .join(totals, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
-            (
-                F.coalesce("n_chunks", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
-            ).alias("n_dropped"),
-        )
+    # totals is 1:1 with docs (with_tk is a plain projection), so the
+    # old docs.select("doc_id") left-join anchor re-scanned the corpus
+    # a third time for a doc_id set totals already carries — anchor on
+    # totals directly (r12, guide §2.4): one scan + one join removed,
+    # identical row set and values (n_chunks never null from totals).
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        "n_chunks",
+        (
+            F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))
+        ).alias("n_dropped"),
     )
 
 

@@ -86,8 +86,16 @@ from .registry_ext50 import (
 )
 def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
-    cleaned = chunk_dedup_rebuild(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
+    # cleaned is consumed twice below (classifier branch + keep join),
+    # and its upstream chunk-dedup rebuild is the composite's heavy
+    # stage — materialize it once (r12, guide §2.4/§5; the scan census
+    # counted 11 parquet scans of documents in the compiled plan).
+    # The cleaned text stays off the warehouse: localCheckpoint blocks
+    # live in executor storage for the query's lifetime only.
+    cleaned = (
+        chunk_dedup_rebuild(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=False)
     )
     scored = classifier_scores(
         cleaned.select("doc_id", "text_dedup"), text_col="text_dedup"

@@ -80,11 +80,17 @@ def e_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import langid_join
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # |classes|² ≤ 36 rows consumed by FOUR branches (n, diag, row and
+    # column totals) — without materialization each branch re-executed
+    # the langid corpus pass (r12 scan census: 8 parquet scans, 42
+    # Exchanges in the compiled plan). Checkpoint the bounded matrix
+    # once; the corpus is touched the two inherent times (guide §2.4).
     conf = (
         langid_join(docs, "text", "doc_id")
         .select(F.col("lang").alias("t"), F.col("predicted_lang").alias("p"))
         .groupBy("t", "p")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
     n = conf.agg(F.sum("c").alias("n"))
     diag = conf.filter(F.col("t") == F.col("p")).agg(

@@ -136,14 +136,20 @@ def d_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tokd.select(
         "doc_id", "lang", F.explode(pairs).alias("p")
     ).select("doc_id", "lang", bucket.alias("b"))
-    # ONE (doc_id, lang, bucket) aggregation feeds all three counts:
-    # the explode+md5 subtree has no exchange of its own, so deriving
-    # raw/target counts directly from `feats` re-executes it per
-    # branch (measured 3-4x the query cost at sf0.01); deriving them
-    # from per3's aggregate lets ReuseExchange dedupe the heavy
-    # subtree to a single execution.
-    per3 = feats.groupBy("doc_id", "lang", "b").agg(
-        F.count("*").alias("tf")
+    # ONE (doc_id, lang, bucket) aggregation feeds all downstream
+    # consumers. Deriving them lazily from per3 relied on ReuseExchange
+    # deduping the heavy tokenize+explode+md5 subtree — but the
+    # pushed-down lang='en' filter makes the branch subtrees
+    # non-identical, so the compiled plan re-executed the full corpus
+    # scan FIVE times (r12 plan audit: 5 parquet scans, 32 Exchanges).
+    # localCheckpoint materializes per3 once — bounded at
+    # |docs| x 256 skinny rows, far smaller than the corpus — and every
+    # branch reads the materialized frame (plan drops to 1 scan or 0
+    # post-checkpoint; guide §5 "caching" / §2.4 shared-exchange).
+    per3 = (
+        feats.groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     raw_c = per3.groupBy("b").agg(F.sum("tf").alias("cr"))
     tgt_c = (

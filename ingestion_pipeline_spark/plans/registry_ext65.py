@@ -487,6 +487,18 @@ def cascade_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     norm = F.md5(
         F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     )
+    # exact-stage keep-min-id stays the groupBy + join-back shape ON
+    # MEASUREMENT (r12, guide §1): a min()-over-window rewrite (one
+    # scan, one exchange on paper) shuffles and sorts the FULL text
+    # rows by the content hash, where this shape shuffles only skinny
+    # (hash, min_id) pairs through a map-side partial aggregate and
+    # then semi-joins the ids back (broadcast at bench SF; at scale the
+    # join shuffles text ONCE by doc_id — no worse than the window's
+    # one text exchange, guide §8 "decide with small rows"). A/B
+    # best-of-5 at sf0.1: window form regressed pipeline_dedup_survivors
+    # 1.19 -> 4.76 s and d_split_leakage_capped 2.30 -> 4.00 s; this
+    # form restored them. ``d1`` is defined once and reused by the
+    # signature stage AND ``survivors`` (one expression, no drift).
     s1 = docs.groupBy(norm.alias("__h")).agg(F.min("doc_id").alias("doc_id"))
     d1 = docs.join(s1.select("doc_id"), "doc_id")
 
@@ -606,9 +618,9 @@ def cascade_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         )
         .agg(F.count("*").cast("long").alias("n_over_undropped"))
     )
-    survivors = docs.join(s1.select("doc_id"), "doc_id").join(
-        drops, "doc_id", "left_anti"
-    )
+    # survivors = exact-stage survivors minus near-dup drops; d1 IS
+    # docs⋈s1, so reusing it saves another full-docs scan + join (r12)
+    survivors = d1.join(drops, "doc_id", "left_anti")
     return {
         "docs": docs,
         "s1": s1,
