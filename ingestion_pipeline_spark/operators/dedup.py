@@ -339,7 +339,13 @@ def minhash_lsh_candidates(
         .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), shingle_n).alias("__sh"))
         .select("doc", hashed_shingles(F.col("__sh")).alias("__hs"))
     )
-    banded = minhash_bands(hashed, n_hashes, n_bands)
+    # the banded frame is consumed by BOTH sides of the self-join;
+    # without materialization the compiled plan duplicates the whole
+    # shingle+minhash mapInPandas subtree (signatures computed twice —
+    # r12 scan census). Checkpointing the skinny (doc, band, bucket)
+    # rows runs the kernel once; blocks are released by the bench /
+    # driver per-query hygiene (guide §2.4/§5).
+    banded = minhash_bands(hashed, n_hashes, n_bands).localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     # merge hint for the same reason as jaccard_pairs: the banded table

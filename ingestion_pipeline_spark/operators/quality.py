@@ -40,7 +40,12 @@ def expectation_report(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("__n")] + [
         F.sum(_violated(pred)).alias(f"__v_{i}") for i, (_, pred) in enumerate(rules.items())
     ]
-    row = df.agg(*aggs)
+    # the per-rule union below re-selects this 1-row aggregate once per
+    # rule, and the compiled plan re-ran the full scan+aggregate per
+    # branch (r12 scan census: |rules| parquet scans for a query whose
+    # docstring promises one). Materializing the single row makes the
+    # "one aggregate over one scan" claim true in the physical plan.
+    row = df.agg(*aggs).localCheckpoint(eager=False)
     reports = []
     for i, name in enumerate(rules):
         reports.append(

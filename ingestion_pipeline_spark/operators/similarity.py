@@ -286,14 +286,26 @@ def lsh_topk_join(
     # no-op, so this caps nothing at scale.
     c = with_bands(spread(corpus, min_partitions=8), corpus_vec, "vec_id", "__corpus_vec")
     p = with_bands(probes, probe_vec, probe_id, "__probe_vec")
+    # r12 (guide §2.3/§2.4/§3.1): the probe band table is tiny by
+    # construction (queries are small — the module contract), so
+    # BROADCAST it: the corpus bands are never shuffled by (band, bkey)
+    # at all. Score the candidates map-side and THEN dedupe multi-band
+    # collisions on the skinny (vec_id, probe_id, sim) triple — the old
+    # shape shuffled BOTH 64-float vectors per candidate through the
+    # dropDuplicates exchange (the §8 anti-pattern: heavy payload
+    # moving to make a skinny decision). sim is a pure function of the
+    # pair, so every duplicate row carries the identical value and
+    # dedup-after-scoring selects the same rows; the ≤n_bands repeated
+    # cosines are map-side arithmetic, cheaper than an exchange of the
+    # vectors at any scale.
     cand = (
-        c.join(p, ["band", "bkey"])
-        .select("vec_id", probe_id, "__corpus_vec", "__probe_vec")
-        .dropDuplicates(["vec_id", probe_id])
+        c.join(F.broadcast(p), ["band", "bkey"])
         .withColumn("sim", F.round(cosine(F.col("__corpus_vec"), F.col("__probe_vec")), 6))
+        .select("vec_id", probe_id, "sim")
+        .dropDuplicates(["vec_id", probe_id])
     )
     return topk_per_group(
-        cand.drop("__probe_vec", "__corpus_vec"), [probe_id], [F.col("sim").desc(), F.col("vec_id").asc()], k
+        cand, [probe_id], [F.col("sim").desc(), F.col("vec_id").asc()], k
     ).drop("rank")
 
 

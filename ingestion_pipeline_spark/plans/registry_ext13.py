@@ -68,12 +68,19 @@ def w_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
         )
+        # |hours|x|series|-bounded and consumed by bounds, the series
+        # set AND the final left join; the hoped-for ReusedExchange
+        # (comment below) did NOT fire in the compiled plan — the
+        # divergent parent aggregates make the exchange subtrees
+        # non-identical, so the full events scan ran three times (r12
+        # scan census: 6 parquet scans). Checkpointed, the one
+        # inherent pass remains (guide §2.4).
+        .localCheckpoint(eager=False)
     )
     # bounds and the series set derive from the AGGREGATED table, not the
     # raw events: date_trunc(hour, min(ts)) == min(bucket) and the distinct
     # event_type sets are identical, so the three logical consumers share
-    # ONE full-data pass — the identical aggregate subplans collapse into
-    # a single exchange (ReusedExchange) instead of three events scans.
+    # ONE full-data pass.
     bounds = actual.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")

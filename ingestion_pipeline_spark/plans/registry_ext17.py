@@ -117,10 +117,18 @@ def tx_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_tokens
 
     docs = table(spark, sf_dir, "documents")
+    # tok feeds BOTH aggregations (corpus frequencies + per-doc tf) and
+    # freq feeds the totals AND the term join — without materialization
+    # the compiled plan re-ran the full scan+tokenize+explode per
+    # branch (r12 scan census: 6 parquet scans). One tokenize pass,
+    # skinny (doc_id, w) rows + the vocab-bounded count table
+    # checkpointed (guide §2.4).
     tok = docs.select(
         "doc_id", F.explode(word_tokens(F.lower(F.col("text")))).alias("w")
+    ).localCheckpoint(eager=False)
+    freq = tok.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
     )
-    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
     tot = freq.agg(F.sum("c").cast("double").alias("n"))
     per = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     terms = per.join(freq, "w").join(F.broadcast(tot)).select(

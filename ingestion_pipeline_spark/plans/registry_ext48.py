@@ -89,6 +89,12 @@ def d_minhash_lsh_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col("__mh").getItem(i).alias(f"mh_{i}") for i in range(_N_HASHES)],
         )
         .filter(F.col("mh_0").isNotNull())
+        # both sides of the banded self-join consume sig; without
+        # materialization the compiled plan ran the md5-minhash Arrow
+        # kernel per side (8 ArrowEvalPython nodes, 4 scans — r12 scan
+        # census). ONE kernel pass over the corpus, checkpointed skinny
+        # (doc_id + 8 hex slots); released by per-query hygiene.
+        .localCheckpoint(eager=False)
     )
     bands = sig.select(
         "doc_id",

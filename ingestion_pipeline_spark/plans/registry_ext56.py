@@ -91,7 +91,13 @@ def tx_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     tk = word_tokens(F.lower(F.col("text")))
-    with_tk = docs.select("doc_id", tk.alias("tk"))
+    # consumed by the segment explode AND the per-doc totals; without
+    # materialization each consumer re-ran the full scan+tokenize (r12
+    # scan census: 8 parquet scans in one query). One tokenize pass,
+    # checkpointed (guide §2.4).
+    with_tk = docs.select("doc_id", tk.alias("tk")).localCheckpoint(
+        eager=False
+    )
     n_segs = F.ceil(F.size("tk") / F.lit(float(_SEG))).cast("long")
     # Spark sequence(0, -1) DESCENDS — an empty doc must yield no
     # segments (matching DuckDB range(0, 0)), not idx 0 and -1
@@ -129,14 +135,18 @@ def tx_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tokenized doc (the explode feeding an agg back to doc grain
     # would be a wasted shuffle)
     totals = with_tk.select("doc_id", n_segs.alias("n_segments"))
+    # totals is 1:1 with docs (plain projection of the tokenized
+    # frame), so anchoring the final left-join on docs.select("doc_id")
+    # re-scanned the corpus for a doc_id set totals already carries —
+    # anchor on totals directly (r12, the chunk_dedup_rebuild fix):
+    # identical row set and values (n_segments never null from totals).
     return (
-        docs.select("doc_id")
+        totals
         .join(kept, "doc_id", "left")
-        .join(totals, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.col("n_segments"),
             (
                 F.coalesce("n_segments", F.lit(0))
                 - F.coalesce("n_kept", F.lit(0))
@@ -196,9 +206,15 @@ def tx_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_tokens
 
     docs = table(spark, sf_dir, "documents")
+    # tokd feeds THREE aggregation branches (bigram counts, per-doc
+    # bigram tf, unigram counts) — without materialization the compiled
+    # plan re-ran the full scan+tokenize per branch (r12 scan census: 4
+    # parquet scans). Checkpoint the tokenized frame once; the explodes
+    # re-read the stored arrays (guide §2.4; A/B flat at sf0.1, the
+    # removed work is 3 extra full-corpus tokenize passes).
     tokd = docs.select(
         "doc_id", word_tokens(F.lower(F.col("text"))).alias("tk")
-    )
+    ).localCheckpoint(eager=False)
     pairs = F.when(
         F.size("tk") >= 2,
         F.expr(

@@ -227,7 +227,16 @@ def g_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_tokens
 
     docs = table(spark, sf_dir, "documents")
-    tokd = docs.select(word_tokens(F.lower(F.col("text"))).alias("tk"))
+    # tokd feeds both count branches, uni feeds the totals AND two
+    # final joins, bf feeds the totals AND the gated output — without
+    # materialization the compiled plan re-ran the full scan+tokenize
+    # per consumer (r12 scan census: 10 parquet scans, 22 Exchanges in
+    # ONE query). Checkpoint the tokenized frame (one tokenize pass)
+    # and the two bounded count tables (vocab- / distinct-bigram-sized;
+    # guide §2.4).
+    tokd = docs.select(
+        word_tokens(F.lower(F.col("text"))).alias("tk")
+    ).localCheckpoint(eager=False)
     pairs = F.when(
         F.size("tk") >= 2,
         F.expr(
@@ -240,8 +249,13 @@ def g_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokd.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cu"))
+        .localCheckpoint(eager=False)
     )
-    bf = bigr.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    bf = (
+        bigr.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .localCheckpoint(eager=False)
+    )
     tot = uni.agg(F.sum("cu").cast("double").alias("nu")).crossJoin(
         bf.agg(F.sum("cb").cast("double").alias("nb"))
     )

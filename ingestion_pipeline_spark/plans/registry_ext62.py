@@ -235,11 +235,20 @@ _EG_LEVELS = 8   # quantized loss levels -> tilt exponents 0..7
 )
 def d_eg_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    dom = docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.expr(f"sum(least(n_chars, {_EG_CAP})) div count(*)").alias(
-            "loss_milli"
-        ),
+    # |sources|-bounded and consumed by the max broadcast AND the tilt
+    # projection; unmaterialized, each consumer re-ran the full corpus
+    # aggregate (r12 scan census: 8 parquet scans in one query via the
+    # dom->tilted->tot chain). Checkpointed, the corpus is scanned the
+    # one inherent time (guide §2.4).
+    dom = (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr(f"sum(least(n_chars, {_EG_CAP})) div count(*)").alias(
+                "loss_milli"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     mx = dom.agg(F.max("loss_milli").alias("m"))
     tilted = (
