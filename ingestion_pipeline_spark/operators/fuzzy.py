@@ -64,7 +64,14 @@ def fuzzy_self_join(
     if max_dist != 1:
         raise NotImplementedError("deletion-neighborhood join implemented for max_dist=1")
     a, b = out_prefix
-    rows = df.select(F.col(key_col).alias("__key"), F.col(str_col).alias("__str"))
+    # rows feeds SIX plan branches (both posting sides via strs, both
+    # key-expansion sides, both dup-pair sides); unmaterialized, the
+    # compiled plan re-ran the source scan per branch (r12 scan census:
+    # 6 scans of the input table in one query). Checkpoint the skinny
+    # (key, str) projection once (guide §2.4).
+    rows = df.select(
+        F.col(key_col).alias("__key"), F.col(str_col).alias("__str")
+    ).localCheckpoint(eager=False)
 
     # The neighborhood join runs over DISTINCT strings, never raw rows:
     # duplicate strings (dirty corpora are full of them) would multiply
@@ -72,7 +79,9 @@ def fuzzy_self_join(
     # by its square — measured 50 s vs 6 s at the 10× smoke, whose
     # replica duplicates each name 10×. Key pairs are re-expanded
     # afterwards by plain output-proportional equi-joins on the string.
-    strs = rows.select("__str").distinct()
+    # strs feeds both posting sides of the self-join — checkpointed so
+    # the distinct aggregate runs once, not per side.
+    strs = rows.select("__str").distinct().localCheckpoint(eager=False)
     postings = strs.select(
         "__str", F.explode(_neighborhood_expr("__str")).alias("__variant")
     )

@@ -100,8 +100,17 @@ def tx_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    total = docs.agg(F.count("*").alias("n"))  # 1-row stats frame
-    cdf = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    # the value histogram is |distinct n_chars|-bounded and feeds both
+    # the cumulative window AND (as sum(cnt) — identical to count(*))
+    # the total, so one corpus aggregate replaces the three scans the
+    # r12 census found (guide §2.4); checkpointed so the two consumers
+    # read the bounded frame, not the corpus.
+    cdf = (
+        docs.groupBy("n_chars")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    total = cdf.agg(F.sum("cnt").alias("n"))  # 1-row stats frame
     marks = (
         cdf.withColumn(
             "cum_before",

@@ -293,14 +293,11 @@ def dq_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import REGISTRY
 
-    # the edge list feeds three join legs; measured at sf0.1 AND the
-    # 10x smoke, a localCheckpoint here is a net LOSS (the eager
-    # materialization job costs more than the per-leg sweep recompute,
-    # which Arrow-batches cheaply) — so the plan stays lazy
     edges = (
         REGISTRY["d_embedding_near_dups"]
         .spark(spark, sf_dir)
         .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -360,6 +357,13 @@ def g_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_span_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 64)
     offs = F.sequence(F.lit(0), F.col("n_chars") - 64, F.lit(32))
+    # spans feeds THREE branches (the frequency cap, the kept side and
+    # the b side of the pair join); unmaterialized, the compiled plan
+    # re-ran the full text scan + window-md5 explode + the corpus-sized
+    # distinct SHUFFLE per branch (r12 scan census: 3 documents scans).
+    # Checkpointing after the distinct pays one shuffle and saves two
+    # full scan+hash+shuffle passes (guide §2.4) — the stored rows are
+    # the skinny (doc_id, span_md5) pairs, never the text.
     spans = (
         docs.select("doc_id", "text", F.explode(offs).alias("off"))
         .select(
@@ -369,6 +373,7 @@ def d_span_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("span_md5"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     keep = (
         spans.groupBy("span_md5")

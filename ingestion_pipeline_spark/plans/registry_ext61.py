@@ -256,8 +256,15 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
-    total = docs.agg(F.count("*").alias("n"))
-    cdf = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    # one corpus aggregate instead of three scans: the histogram is
+    # checkpointed and the total derives from it (sum of group counts
+    # == count(*)) — the d_difficulty_buckets r12 fix (guide §2.4)
+    cdf = (
+        docs.groupBy("n_chars")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    total = cdf.agg(F.sum("cnt").alias("n"))
     marks = (
         cdf.withColumn(
             "cum_before",

@@ -41,10 +41,18 @@ def mixture_tilts(docs: DataFrame) -> DataFrame:
     exponents from capped mean char-loss (exact BIGINT arithmetic).
     Frozen at epoch start, this table is what makes the manifest
     incremental — see ``tests/test_incremental_epoch.py``."""
-    dom = docs.groupBy("source").agg(
-        F.expr(f"sum(least(n_chars, {_EG_CAP})) div count(*)").alias(
-            "loss_milli"
+    # |sources|-bounded and consumed by the max AND the tilt select;
+    # unmaterialized, each consumer re-ran the full corpus aggregate
+    # (r12 scan census — the d_eg_domain_reweight fix applied to the
+    # shared helper; guide §2.4)
+    dom = (
+        docs.groupBy("source")
+        .agg(
+            F.expr(f"sum(least(n_chars, {_EG_CAP})) div count(*)").alias(
+                "loss_milli"
+            )
         )
+        .localCheckpoint(eager=False)
     )
     mx = dom.agg(F.max("loss_milli").alias("m"))
     return dom.crossJoin(F.broadcast(mx)).select(
