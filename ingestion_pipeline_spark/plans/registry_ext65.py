@@ -472,9 +472,10 @@ def cascade_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                     hide in the untested tail; ADVICE r8)
     - ``survivors`` full documents rows surviving both stages
 
-    Persist contract (ADVICE r9): ``sig``/``bk``/``ranked`` stay
-    cached until the session drops them — registry consumers rely on
-    the bench/driver per-query ``clearCache()`` hygiene, but a caller
+    Persist contract (ADVICE r9): ``sig``/``bk``/``ranked`` (and,
+    since r12, the skinny ``s1`` and ``edges`` id frames) stay cached
+    until the session drops them — registry consumers rely on the
+    bench/driver per-query ``clearCache()`` hygiene, but a caller
     running several cascade consumers in ONE session (each call
     re-persists its own copies, including the text-bearing ``sig``)
     must call :func:`unpersist_cascade` (or ``clearCache()``) between
@@ -499,8 +500,27 @@ def cascade_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # 1.19 -> 4.76 s and d_split_leakage_capped 2.30 -> 4.00 s; this
     # form restored them. ``d1`` is defined once and reused by the
     # signature stage AND ``survivors`` (one expression, no drift).
-    s1 = docs.groupBy(norm.alias("__h")).agg(F.min("doc_id").alias("doc_id"))
-    d1 = docs.join(s1.select("doc_id"), "doc_id")
+    # r12: s1 is the skinny survivor-id frame (consumers use only the
+    # ids / their count — the __h group key never leaves this function)
+    # and it feeds sig, survivors AND the returned s1/d1_ids keys;
+    # unpersisted, every consumer re-ran the full-text norm-md5
+    # aggregate (scan census: 5+ documents scans per capped query).
+    # persist(), NOT localCheckpoint: a checkpoint truncates lineage
+    # and loses Catalyst statistics, which demoted the docs⋈s1 join
+    # from broadcast to a sort-merge shuffle of the FULL text corpus —
+    # A/B-measured 2x slower across the whole family; persist dedupes
+    # runtime execution identically while keeping stats (guide §5).
+    # d1_ids below IS s1: min(doc_id) per group is an existing doc_id
+    # and docs is unique by doc_id, so docs⋈s1 selects exactly s1's
+    # ids — the former docs join was a full extra scan for an
+    # identical id set.
+    s1 = (
+        docs.groupBy(norm.alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .persist()
+    )
+    d1 = docs.join(s1, "doc_id")
 
     # signatures via ONE Arrow kernel pass off the text column
     # (VERDICT r7 #3); text rides the same persist so the verify stage
@@ -591,6 +611,13 @@ def cascade_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # verified near-dup EDGES: in-budget candidates whose exact Jaccard
     # qualifies — the drop rule AND the capped cluster graph both read
     # this one definition
+    # r12: persisted — edges feeds drops, obu, survivors and the
+    # cluster/leakage/graph consumers; uncached each one re-ran BOTH
+    # text joins and the Arrow 3-gram-Jaccard kernel over every
+    # in-budget candidate pair (the most expensive stage of the
+    # cascade, guide §4/§2.4). The cached rows are the skinny verified
+    # (id_a, id_b) pairs; persist over localCheckpoint for the same
+    # stats-preservation reason as s1 above.
     edges = (
         ranked.filter(F.col("rk") <= _VERIFY_K)
         .join(
@@ -603,6 +630,7 @@ def cascade_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         )
         .filter(jac(F.col("ta"), F.col("tb")) >= _NEAR_BP)
         .select("id_a", "id_b")
+        .persist()
     )
     drops = edges.select(F.col("id_b").alias("doc_id")).distinct()
     # under-drop exposure census: over-budget docs that were NOT
@@ -624,7 +652,7 @@ def cascade_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {
         "docs": docs,
         "s1": s1,
-        "d1_ids": d1.select("doc_id"),
+        "d1_ids": s1,
         "sig": sig,
         "bk": bk,
         "ranked": ranked,
@@ -648,7 +676,7 @@ def unpersist_cascade(frames: dict[str, DataFrame]) -> None:
     DataFrames are returned lazy (unpersisting before execution would
     forfeit the shared-scan reuse the plan is built around).
     """
-    for key in ("sig", "bk", "ranked"):
+    for key in ("sig", "bk", "ranked", "s1", "edges"):
         df = frames.get(key)
         if df is not None:
             try:
