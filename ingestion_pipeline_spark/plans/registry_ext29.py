@@ -80,11 +80,14 @@ def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros("ts") / F.lit(_WEEK_US)).alias("wk"),
     )
     # cohort week as a per-user window MIN — no self-join back onto the
-    # fact: one user_id exchange, and the identical windowed subplan in
-    # the sizes branch is deduplicated by ReuseExchange
+    # fact: one user_id exchange. The hoped-for ReusedExchange between
+    # the sizes and active branches did NOT fire in the compiled plan
+    # (divergent parent aggregates — r12 scan census: 2 events scans +
+    # 2 window passes), so the skinny (user_id, wk, cohort_wk) frame is
+    # checkpointed: one scan, one window (guide §2.4).
     ev = ev.withColumn(
         "cohort_wk", F.min("wk").over(Window.partitionBy("user_id"))
-    )
+    ).localCheckpoint(eager=False)
     sizes = (
         ev.select("user_id", "cohort_wk")
         .distinct()
@@ -231,18 +234,38 @@ def d_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
 
-    def profile(col: str) -> DataFrame:
+    # ONE aggregate pass computes both columns' statistics (the two
+    # per-column aggregates each re-scanned orders — r12 scan census);
+    # the 1-row result is checkpointed and the per-column report rows
+    # are plain selects off it (the expectation_report r12 shape).
+    cols = ["o_totalprice", "o_custkey"]
+
+    def aggs(col: str) -> list:
         c = F.col(col)
-        return orders.agg(
-            F.lit(col).alias("column_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
-            F.count_distinct(c).alias("n_distinct"),
-            F.min(c).cast("double").alias("min_value"),
-            F.max(c).cast("double").alias("max_value"),
+        return [
+            F.count(F.lit(1)).alias(f"__n_{col}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"__null_{col}"),
+            F.count_distinct(c).alias(f"__dist_{col}"),
+            F.min(c).cast("double").alias(f"__min_{col}"),
+            F.max(c).cast("double").alias(f"__max_{col}"),
             (
                 F.sum(c.cast("decimal(18,2)")).cast("double") / F.count(c)
-            ).alias("mean_value"),
+            ).alias(f"__mean_{col}"),
+        ]
+
+    row = orders.agg(
+        *[a for col in cols for a in aggs(col)]
+    ).localCheckpoint(eager=False)
+
+    def profile(col: str) -> DataFrame:
+        return row.select(
+            F.lit(col).alias("column_name"),
+            F.col(f"__n_{col}").alias("n_rows"),
+            F.col(f"__null_{col}").alias("n_null"),
+            F.col(f"__dist_{col}").alias("n_distinct"),
+            F.col(f"__min_{col}").alias("min_value"),
+            F.col(f"__max_{col}").alias("max_value"),
+            F.col(f"__mean_{col}").alias("mean_value"),
         )
 
     return profile("o_totalprice").unionByName(profile("o_custkey"))

@@ -100,7 +100,15 @@ def v_chunk_sum_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("text"), F.col("off") + 1, F.lit(200)).alias("ctext"),
     )
     embed = embedding_udf(hashing_embedder(dim=16, normalize=False), dim=16)
-    embedded = chunks.select("doc_id", embed(F.col("ctext")).alias("emb"))
+    # embedded feeds the n_chunks count AND the pooled sum — without
+    # materialization the compiled plan ran the embedding UDF TWICE
+    # over every chunk (2 ArrowEvalPython nodes — r12 scan census; the
+    # guide §4 duplicated-UDF class). Checkpointed: one UDF pass, and
+    # the stored (doc_id, 16 ints) rows are ~3x smaller than the
+    # 200-char chunk texts they replace.
+    embedded = chunks.select(
+        "doc_id", embed(F.col("ctext")).alias("emb")
+    ).localCheckpoint(eager=False)
     n_chunks = embedded.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks")
     )

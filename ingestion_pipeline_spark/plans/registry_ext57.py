@@ -249,9 +249,13 @@ def g_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_tokens
 
     docs = table(spark, sf_dir, "documents")
+    # tokd feeds the unigram AND bigram branches — unmaterialized, the
+    # compiled plan re-ran the full scan+tokenize per branch (r12 scan
+    # census: 2 documents scans). One tokenize pass, checkpointed
+    # (guide §2.4; the tx_bigram_perplexity shape).
     tokd = docs.select(
         "source", word_tokens(F.lower(F.col("text"))).alias("tk")
-    )
+    ).localCheckpoint(eager=False)
     uni = (
         tokd.select("source", F.explode("tk").alias("w"))
         .groupBy("source")

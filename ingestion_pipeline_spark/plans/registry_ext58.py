@@ -77,9 +77,15 @@ def tx_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_tokens
 
     docs = table(spark, sf_dir, "documents")
+    # toks feeds the vocab top-K AND the final OOV join — without
+    # materialization each consumer re-ran the full scan+tokenize+
+    # explode (r12 scan census: 2 documents scans). One tokenize pass
+    # over the skinny (source, w) rows (guide §2.4); the vocab join
+    # below is explicitly broadcast-hinted, so the lost statistics
+    # cannot demote it.
     toks = docs.select(
         "source", F.explode(word_tokens(F.lower(F.col("text")))).alias("w")
-    )
+    ).localCheckpoint(eager=False)
     vocab = (
         toks.groupBy("w")
         .agg(F.count("*").alias("c"))
@@ -211,6 +217,10 @@ def d_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_tokens
 
     docs = table(spark, sf_dir, "documents")
+    # |sources|-bounded and consumed by the normalization row AND the
+    # final select — unmaterialized, each consumer re-ran the full
+    # scan+tokenize+explode aggregate (r12 scan census: 2 documents
+    # scans). Checkpointed (guide §2.4).
     counts = (
         docs.select(
             "source",
@@ -218,6 +228,7 @@ def d_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     onerow = counts.agg(
         F.sum("n").alias("big_n"),

@@ -396,7 +396,16 @@ def dq_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("digit")
     )
-    obs = digits.groupBy("digit").agg(F.count("*").alias("n_orders"))
+    # the ≤9-row digit histogram feeds the total AND the grid join;
+    # unmaterialized, each consumer re-ran the orders scan (r12 scan
+    # census: 2 scans). Checkpointed (guide §2.4) — the downstream
+    # joins are explicitly broadcast-hinted, so the lost statistics
+    # cannot demote a join strategy.
+    obs = (
+        digits.groupBy("digit")
+        .agg(F.count("*").alias("n_orders"))
+        .localCheckpoint(eager=False)
+    )
     tot = obs.agg(F.sum("n_orders").cast("long").alias("n"))
     grid = spark.createDataFrame(
         [(d, float(_BENFORD[d])) for d in range(1, 10)],
