@@ -68,35 +68,34 @@ def bm25_scores(
     # passes over the corpus (see SCALE.md "UDF-fed joins", hazard 1).
     term_counts = term_counts.asNondeterministic()
 
-    per_doc = docs.select(
-        id_col, term_counts(F.col(text_col)).alias("__c")
-    ).select(
-        id_col,
-        F.col("__c.dl").alias("__dl"),
-        *[F.col(f"__c.tf{i}").alias(f"__tf_{i}") for i in range(len(terms))],
+    # checkpointed (r12, guide §2.4/§4): per_doc feeds the corpus-stats
+    # aggregate AND the scoring projection. The pre-r12 shape kept the
+    # stats branch on a separate JVM-native tokenize pass precisely so
+    # the UDF would not run twice (the r3 bench regression on the RRF
+    # fusion plan) — materializing the skinny (id, dl, tf...) rows
+    # makes that second full-corpus tokenize pass unnecessary: ONE
+    # text pass total, and the stats reduce over stored ints.
+    per_doc = (
+        docs.select(id_col, term_counts(F.col(text_col)).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.dl").alias("__dl"),
+            *[F.col(f"__c.tf{i}").alias(f"__tf_{i}") for i in range(len(terms))],
+        )
+        .localCheckpoint(eager=False)
     )
-    # Corpus stats (N, avgdl, per-term df) need only doc length and
-    # term PRESENCE — both exact as native JVM expressions, so this
-    # branch never runs Python: previously it re-ran the tokenize UDF
-    # over the whole corpus a second time (the r3 bench regression on
-    # the RRF fusion plan). size(split) == len(str.split()) and
-    # array_contains(tokens, w) == (ws.count(w) > 0) bit-for-bit; the
-    # aggregate still reduces to ONE broadcastable row.
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda t: t != F.lit(""),
-    )  # coalesce mirrors the UDF's (t or "") null guard
-    stats = docs.select(
-        F.size(toks).alias("__dl"),
-        *[
-            F.array_contains(toks, terms[i]).alias(f"__has_{i}")
-            for i in range(len(terms))
-        ],
-    ).agg(
+    # Corpus stats (N, avgdl, per-term df) derive from the UDF's own
+    # output — df_i == count(tf_i > 0) is the same term-presence the
+    # old array_contains branch computed (bit-for-bit, per the original
+    # equivalence note), and avgdl/N are plain reductions of dl/rows.
+    # The aggregate still reduces to ONE broadcastable row.
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg(F.col("__dl").cast("double")).alias("__avgdl"),
         *[
-            F.sum(F.col(f"__has_{i}").cast("long")).cast("double").alias(f"__df_{i}")
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"__df_{i}")
             for i in range(len(terms))
         ],
     )

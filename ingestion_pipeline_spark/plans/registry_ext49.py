@@ -172,13 +172,18 @@ def t_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def term_eq(word: str):
         return lambda t: t == F.lit(word)
 
+    # per_doc feeds the stats aggregate AND the scoring projection —
+    # unmaterialized, each branch re-ran the full scan + interpreted
+    # HOF tokenize (r12 scan census: 2 documents scans). Checkpointed
+    # skinny (doc_id, tf...) ints: one text pass (guide §2.4; the
+    # bm25_scores fix).
     per_doc = docs.select(
         "doc_id",
         *[
             F.size(F.filter(tk, term_eq(w))).alias(f"tf{i}")
             for i, w in enumerate(_TFIDF_TERMS)
         ],
-    )
+    ).localCheckpoint(eager=False)
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         *[
