@@ -24,13 +24,47 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, normalize
+from ..functions.vector import cosine, normalize  # noqa: F401 — re-exported (kept for API parity; the HOF cosine remains the documented reference form)
 from .relational import spread, topk, topk_per_group
 
 
+def probe_cosine_np(probe: list[float]):
+    """Arrow-vectorized cosine against ONE fixed probe vector — the
+    brute-force scan's hot path (guide §4.2). The pre-r12 HOF form
+    compiled to ~7 interpreted 64-element folds PER ROW (the compiled
+    plan showed the probe's own norm — a fold over 64 literals — and
+    the corpus self-dot each evaluated twice inside the CASE), plus a
+    multi-KB expression tree that bloated every consumer's plan. One
+    einsum per Arrow batch replaces all of it; float64 math and the
+    0.0-on-zero-norm semantics match ``functions.vector.cosine``, and
+    the 6-dp HALF_UP rounding stays in the JVM (same `F.round` as
+    before), so consumers' oracle values are unchanged (same
+    einsum-vs-fold precedent as ``cosine_pairs_np``, value-verified at
+    all three fixture SFs). Marked non-deterministic so a threshold
+    filter on the output column is never pushed below the projection
+    into a SECOND Arrow pass (guide §4.4)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    pv = np.asarray(probe, dtype=np.float64)
+    pn = float(np.sqrt(np.einsum("i,i->", pv, pv)))
+
+    @pandas_udf(DoubleType())
+    def cos(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="float64")
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        num = mat @ pv
+        den = np.sqrt(np.einsum("ij,ij->i", mat, mat)) * pn
+        return pd.Series(np.where(den > 0, num / np.where(den == 0, 1.0, den), 0.0))
+
+    return cos.asNondeterministic()
+
+
 def with_cosine(df: DataFrame, vec_col: str, probe: list[float], alias: str = "sim") -> Column | DataFrame:
-    probe_col = F.array(*[F.lit(float(x)) for x in probe])
-    return df.withColumn(alias, F.round(cosine(F.col(vec_col), probe_col), 6))
+    return df.withColumn(alias, F.round(probe_cosine_np(probe)(F.col(vec_col)), 6))
 
 
 def brute_force_topk(
@@ -45,9 +79,13 @@ def brute_force_topk(
     """Exact cosine top-k against one probe vector (V3/V4 with T1-T3 k and
     V5 threshold semantics). Sim rounded to 6dp for cross-engine
     determinism; ties broken by id."""
-    out = with_cosine(df, vec_col, probe)
+    # id exclusion BEFORE the sim column: the Arrow kernel is marked
+    # non-deterministic (see probe_cosine_np), which blocks filter
+    # pushdown THROUGH it — filtering first keeps the predicate at the
+    # parquet scan (PushedFilters) where it belongs.
     if exclude_id is not None:
-        out = out.filter(F.col(id_col) != exclude_id)
+        df = df.filter(F.col(id_col) != exclude_id)
+    out = with_cosine(df, vec_col, probe)
     if threshold is not None:
         out = out.filter(F.col("sim") >= threshold)   # F3 — chatbot/main.py:69
     return topk(out, [F.col("sim").desc(), F.col(id_col).asc()], k)
@@ -69,8 +107,12 @@ def topk_join(
     p = probes.select(
         F.col(probe_id), F.col(probe_vec).alias("__probe_vec")
     )
+    # r12 (guide §4.2): Arrow einsum kernel instead of the interpreted
+    # zip_with/aggregate folds — per pair the HOF form evaluated ~5
+    # 64-element interpreted folds; same float64 math + JVM rounding.
     joined = corpus.crossJoin(F.broadcast(p)).withColumn(
-        "sim", F.round(cosine(F.col(corpus_vec), F.col("__probe_vec")), 6)
+        "sim",
+        F.round(cosine_pairs_np()(F.col(corpus_vec), F.col("__probe_vec")), 6),
     )
     if threshold is not None:
         joined = joined.filter(F.col("sim") >= threshold)
@@ -300,7 +342,12 @@ def lsh_topk_join(
     # vectors at any scale.
     cand = (
         c.join(F.broadcast(p), ["band", "bkey"])
-        .withColumn("sim", F.round(cosine(F.col("__corpus_vec"), F.col("__probe_vec")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_pairs_np()(F.col("__corpus_vec"), F.col("__probe_vec")), 6
+            ),
+        )
         .select("vec_id", probe_id, "sim")
         .dropDuplicates(["vec_id", probe_id])
     )
@@ -452,7 +499,10 @@ def lsh_multiprobe_topk_join(
         .select("vec_id", probe_id, "__corpus_vec", "__probe_vec")
         .dropDuplicates(["vec_id", probe_id])
         .withColumn(
-            "sim", F.round(cosine(F.col("__corpus_vec"), F.col("__probe_vec")), 6)
+            "sim",
+            F.round(
+                cosine_pairs_np()(F.col("__corpus_vec"), F.col("__probe_vec")), 6
+            ),
         )
     )
     return topk_per_group(

@@ -9,7 +9,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.exact import cents_disc_price, exact_sum, money, one_minus, sum_cents
-from ..functions.vector import cosine
 from ..operators import similarity as sim
 from ..operators.relational import spread, topk_per_group
 from ..sources.parquet_tables import table
@@ -652,11 +651,14 @@ def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sum(x * y for x, y in zip(l2norm(a), l2norm(b)))
 
     keep = sorted(range(16), key=lambda i: -cos_py(probe, centroids[i]))[:4]
-    probe_col = F.array(*[F.lit(x) for x in probe])
     assigned = emb.withColumn("cluster", nearest(F.col("embedding")))
+    # r12 (guide §4.2): Arrow probe-cosine kernel replaces the
+    # interpreted HOF folds; float64 + JVM 6-dp rounding — value-identical.
     return (
         assigned.filter(F.col("cluster").isin(keep) & (F.col("vec_id") != 0))
-        .withColumn("sim", F.round(cosine(F.col("embedding"), probe_col), 6))
+        .withColumn(
+            "sim", F.round(sim.probe_cosine_np(probe)(F.col("embedding")), 6)
+        )
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(8)
         .select("vec_id", "cluster", "sim")

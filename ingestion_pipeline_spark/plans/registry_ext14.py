@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine
+from ..operators.similarity import cosine_pairs_np
 from ..operators.relational import spread, topk_per_group
 from ..sources.parquet_tables import table
 from .registry import register
@@ -408,7 +408,12 @@ def v_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "embedding")
         .join(F.broadcast(cand), "vec_id")
         .join(probes_df, "probe_id")
-        .withColumn("sim", F.round(cosine(F.col("embedding"), F.col("p_emb")), 6))
+        # r12 (guide §4.2): Arrow einsum kernel replaces the interpreted
+        # HOF cosine folds; float64 + JVM 6-dp rounding — value-identical.
+        .withColumn(
+            "sim",
+            F.round(cosine_pairs_np()(F.col("embedding"), F.col("p_emb")), 6),
+        )
     )
     return topk_per_group(
         reranked, ["probe_id"], [F.col("sim").desc(), F.col("vec_id").asc()], 5

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine
+from ..operators.similarity import cosine_pairs_np
 from ..operators.relational import spread, topk
 from ..sources.parquet_tables import table
 from .registry import SQL_TOKENS, register
@@ -360,10 +360,17 @@ def v_matryoshka_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         pref.filter(F.col("vec_id") != 0)
         .crossJoin(probe)
+        # r12 (guide §4.2): Arrow einsum kernels replace the interpreted
+        # HOF cosine folds (two per row here); float64 + JVM 6-dp
+        # rounding — value-identical.
         .select(
             "vec_id",
-            F.round(cosine(F.col("vp"), F.col("pvp")), 6).alias("sim_prefix"),
-            F.round(cosine(F.col("embedding"), F.col("pv")), 6).alias("sim_full"),
+            F.round(
+                cosine_pairs_np()(F.col("vp"), F.col("pvp")), 6
+            ).alias("sim_prefix"),
+            F.round(
+                cosine_pairs_np()(F.col("embedding"), F.col("pv")), 6
+            ).alias("sim_full"),
         )
     )
     return topk(

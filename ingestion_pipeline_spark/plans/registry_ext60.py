@@ -368,9 +368,14 @@ def e_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .filter(F.col("vec_id") != F.col("probe_id"))
+        # r12 (guide §4.2): Arrow einsum kernel replaces the interpreted
+        # zip_with/aggregate cosine folds; same float64 math, same JVM
+        # 6-dp rounding — value-identical (cosine_pairs_np precedent).
         .withColumn(
             "sim",
-            F.round(sim.cosine(F.col("embedding"), F.col("__pv")), 6),
+            F.round(
+                sim.cosine_pairs_np()(F.col("embedding"), F.col("__pv")), 6
+            ),
         )
     )
     exact1 = (
