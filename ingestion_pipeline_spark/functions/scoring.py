@@ -67,8 +67,31 @@ def rag_verdict(response: Column, context: Column) -> Column:
     """V9/E1 — phrase-provenance TP/FP/FN (llama-chatbot/eval.py:22-30):
     any response phrase absent from context → FP; any context phrase
     absent from response → FN; else TP. FP wins when both hold (the
-    reference checks FP first)."""
-    resp, ctx = phrase_set(response), phrase_set(context)
-    has_fp = F.size(F.array_except(resp, ctx)) > 0
-    has_fn = F.size(F.array_except(ctx, resp)) > 0
-    return F.when(has_fp, F.lit("FP")).otherwise(F.when(has_fn, F.lit("FN")).otherwise(F.lit("TP")))
+    reference checks FP first).
+
+    r12 (guide §2.3 per-task work): the two phrase sets are bound to a
+    lambda variable via the 1-element-array transform trick (the
+    ``signature_bits`` precedent) so each evaluates ONCE per row — the
+    naive when/otherwise form inlined BOTH interpreted
+    split→transform(trim)→distinct subtrees into BOTH branches (4
+    phrase-set evaluations per row in the compiled plan; HOF transforms
+    are CodegenFallback, so no codegen CSE rescues them). Same
+    functions, same order — value-identical."""
+    pair = F.array(
+        F.struct(
+            phrase_set(response).alias("r"), phrase_set(context).alias("c")
+        )
+    )
+    return F.element_at(
+        F.transform(
+            pair,
+            lambda p: F.when(
+                F.size(F.array_except(p["r"], p["c"])) > 0, F.lit("FP")
+            ).otherwise(
+                F.when(
+                    F.size(F.array_except(p["c"], p["r"])) > 0, F.lit("FN")
+                ).otherwise(F.lit("TP"))
+            ),
+        ),
+        1,
+    )

@@ -87,12 +87,46 @@ def mean_word_len(col: Column) -> Column:
 def quality_score(col: Column) -> Column:
     """Composite document-quality heuristic in [0,1]: rewards moderate
     length, low punctuation density, presence of stopwords. Deterministic
-    column arithmetic (clamped like llama-chatbot/main.py:195-215)."""
-    len_score = F.least(F.lit(1.0), token_count(col) / F.lit(100.0))
-    stop_score = F.least(F.lit(1.0), stopword_ratio(col) * F.lit(5.0))
-    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * F.lit(4.0))
-    score = len_score * F.lit(0.4) + stop_score * F.lit(0.3) + punct_penalty * F.lit(0.3)
-    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), score))
+    column arithmetic (clamped like llama-chatbot/main.py:195-215).
+
+    r12 (guide §2.3 per-task work): the token arrays are bound to lambda
+    variables via the 1-element-array transform trick so each interpreted
+    split→filter subtree evaluates ONCE per row — the naive composition
+    inlined the lowercase tokenization three times (ratio numerator,
+    denominator and its zero-guard) and HOFs are CodegenFallback, so no
+    codegen CSE rescues the duplicates. Identical subexpressions in the
+    identical arithmetic order — value-identical."""
+
+    def score_of(s: Column) -> Column:
+        len_score = F.least(F.lit(1.0), s["nw"] / F.lit(100.0))
+        stop_ratio = F.when(s["nt"] > 0, s["ns"] / s["nt"]).otherwise(F.lit(0.0))
+        stop_score = F.least(F.lit(1.0), stop_ratio * F.lit(5.0))
+        punct_penalty = F.greatest(
+            F.lit(0.0), F.lit(1.0) - s["pr"] * F.lit(4.0)
+        )
+        score = (
+            len_score * F.lit(0.4)
+            + stop_score * F.lit(0.3)
+            + punct_penalty * F.lit(0.3)
+        )
+        return F.least(F.lit(1.0), F.greatest(F.lit(0.0), score))
+
+    def with_toks(t: Column) -> Column:
+        feats = F.array(
+            F.struct(
+                token_count(col).alias("nw"),
+                F.size(t).alias("nt"),
+                F.size(
+                    F.filter(t, lambda x: x.isin(STOPWORDS))
+                ).alias("ns"),
+                punct_ratio(col).alias("pr"),
+            )
+        )
+        return F.element_at(F.transform(feats, score_of), 1)
+
+    return F.element_at(
+        F.transform(F.array(word_tokens(F.lower(col))), with_toks), 1
+    )
 
 
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID

@@ -108,13 +108,62 @@ def kmeans_fit(
 
         return assign
 
+    # r12 (guide §2.3, aggregate-before-shuffle): the centroid update
+    # used to JOIN the assignment back to `q` by vec_id (a corpus-sized
+    # shuffle of both sides, every iteration) and posexplode |corpus|×dim
+    # (cluster, i, val) rows through a second exchange. One fused
+    # mapInPandas now assigns AND pre-aggregates per-partition integer
+    # partials (cluster, i, s, n) — ≤ k×dim rows per partition — so the
+    # only exchange per round carries k×dim×partitions skinny rows.
+    # Value-identical: int64 sums are exactly associative (coords ≤
+    # scale, |corpus|·scale ≪ 2^63 — same bound the old global sum
+    # relied on), and `s div n` / empty-cluster handling are unchanged.
+    upd_schema = StructType(
+        [
+            StructField("cluster", LongType()),
+            StructField("i", LongType()),
+            StructField("s", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def make_updater(centroids: "np.ndarray"):
+        def update(batches):
+            k_, dim_ = centroids.shape
+            s_acc = np.zeros((k_, dim_), dtype=np.int64)
+            n_acc = np.zeros(k_, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+                d = np.empty((len(V), k_), dtype=np.int64)
+                for j in range(k_):
+                    diff = V - centroids[j][None, :]
+                    d[:, j] = np.einsum("ij,ij->i", diff, diff)
+                best = d.argmin(axis=1)  # first minimum == lowest cid
+                for j in range(k_):
+                    mask = best == j
+                    if mask.any():
+                        s_acc[j] += V[mask].sum(axis=0)
+                        n_acc[j] += int(mask.sum())
+            hit = np.nonzero(n_acc > 0)[0]
+            if len(hit):
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.repeat(hit, dim_).astype(np.int64),
+                        "i": np.tile(np.arange(dim_, dtype=np.int64), len(hit)),
+                        "s": s_acc[hit].reshape(-1),
+                        "n": np.repeat(n_acc[hit], dim_),
+                    }
+                )
+
+        return update
+
     for _ in range(iters):
-        assign = q.mapInPandas(make_assigner(cent.copy()), out_schema)
         sums = (
-            assign.join(q, "vec_id")
-            .select("cluster", F.posexplode("v").alias("i", "val"))
+            q.mapInPandas(make_updater(cent.copy()), upd_schema)
             .groupBy("cluster", "i")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .select("cluster", "i", F.expr("s div n").alias("c"))
             .collect()  # bounded: k x dim rows
         )

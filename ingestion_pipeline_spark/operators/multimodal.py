@@ -103,7 +103,12 @@ def extract_features(
                 rows.append({"path": path, "modality": modality, **feats})
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    # r12 (guide §4.1): mapInPandas is opaque to column pruning — ship
+    # only the columns the decoder reads (drops `length` and anything a
+    # caller added from the Arrow transfer).
+    return media.select("path", "modality", "content").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_nth: int = 30) -> DataFrame:
@@ -111,7 +116,11 @@ def sample_frames(media: DataFrame, every_nth: int = 30) -> DataFrame:
     via the deterministic fake frame count; a real implementation swaps
     the decode in ``extract_features`` and yields actual frame bytes.
     Kept column-side: explode over a sequence — no Python loop."""
-    feats = extract_features(media)
+    # r12 (guide §4.1): filter to video BEFORE the decode UDF — the old
+    # shape decoded every image/audio row and discarded the result (the
+    # decoder output is per-row independent, so pre-filtering is
+    # value-identical; resize_images already had this shape).
+    feats = extract_features(media.filter(F.col("modality") == "video"))
     return (
         feats.filter(F.col("modality") == "video")
         .select(
@@ -179,7 +188,12 @@ def resize_images(
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
-    return media.filter(F.col("modality") == "image").mapInPandas(run, RESIZED_SCHEMA)
+    # r12 (guide §4.1): only path+content cross the Arrow boundary
+    return (
+        media.filter(F.col("modality") == "image")
+        .select("path", "content")
+        .mapInPandas(run, RESIZED_SCHEMA)
+    )
 
 
 def chunk_audio(media: DataFrame, chunk_ms: int = 10_000, bytes_per_ms: int = 32) -> DataFrame:
@@ -244,4 +258,5 @@ def average_hash32(media: DataFrame, content_col: str = "content") -> DataFrame:
                 hashes[ok] = (bits * _weights).sum(axis=1)
             yield pd.DataFrame({"path": pdf["path"].to_numpy(), "ahash32": hashes})
 
-    return media.mapInPandas(run, AHASH_SCHEMA)
+    # r12 (guide §4.1): only path + the payload column cross the boundary
+    return media.select("path", content_col).mapInPandas(run, AHASH_SCHEMA)

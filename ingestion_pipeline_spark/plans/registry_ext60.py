@@ -107,56 +107,78 @@ def _pca_oracle() -> str:
     "the direction scale to 100 (documented, same code path).",
 )
 def v_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 (guide §2.3/§4.2, the kmeans_fit precedent): each round used
+    # to run an interpreted 64-element `aggregate` fold PER ROW for u,
+    # then posexplode |corpus|×dim (dim, mu) rows through the groupBy
+    # exchange. One mapInPandas per round now computes u = M@v and the
+    # per-partition A^T·u partials (dim rows per partition) in int64
+    # numpy — exact integer arithmetic, order-free, so the global sums
+    # are value-identical to the old exchange; the per-round norm fold
+    # runs driver-side over the collected |dims| vector with the SAME
+    # IEEE ops in the SAME index order (float64 `acc + w*w` left fold,
+    # then floor(1000*(w/sqrt(n2)) + 0.5) per element — Python floats
+    # ARE IEEE doubles). Per round the only exchange carries
+    # dim×partitions skinny rows instead of |corpus|×dim.
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
     emb = table(spark, sf_dir, "embeddings")
     dim_n = len(emb.select("embedding").first()["embedding"])
-    vq = spark.range(1).select(
-        F.expr(
-            f"transform(sequence(0, {dim_n - 1}), i -> CAST(1000 AS BIGINT))"
-        ).alias("v")
+    part_schema = StructType(
+        [StructField("dim", LongType()), StructField("w", LongType())]
     )
+
+    def make_partials(v_list: list[int]):
+        def gen(batches):
+            va = np.asarray(v_list, dtype=np.int64)
+            acc = np.zeros(len(v_list), dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.floor(
+                    np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                    * 1000.0
+                ).astype(np.int64)
+                u = M @ va
+                acc += M.T @ u
+                seen = True
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "dim": np.arange(len(v_list), dtype=np.int64),
+                        "w": acc,
+                    }
+                )
+
+        return gen
+
+    v = [1000] * dim_n
     for _ in range(_PCA_ROUNDS):
-        u = emb.crossJoin(F.broadcast(vq)).select(
-            "embedding",
-            F.expr(
-                "aggregate(sequence(0, size(embedding) - 1), 0L, (acc, i) -> "
-                "acc + CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) "
-                "AS BIGINT) * v[i])"
-            ).alias("u"),
-        )
-        w = (
-            u.select(F.posexplode("embedding").alias("dim", "x"), "u")
-            .select(
-                "dim",
-                (
-                    F.floor(F.col("x").cast("double") * 1000).cast("long")
-                    * F.col("u")
-                ).alias("mu"),
-            )
+        rows = (
+            emb.select("embedding")
+            .mapInPandas(make_partials(list(v)), part_schema)
             .groupBy("dim")
-            .agg(F.sum("mu").alias("w"))
+            .agg(F.sum("w").alias("w"))
+            .collect()  # bounded: |dims| rows
         )
-        vq = (
-            w.agg(
-                F.sort_array(F.collect_list(F.struct("dim", "w"))).alias("a")
-            )
-            .select(
-                F.expr(
-                    "aggregate(a, 0.0D, (acc, s) -> "
-                    "acc + CAST(s.w AS DOUBLE) * CAST(s.w AS DOUBLE))"
-                ).alias("n2"),
-                F.expr("transform(a, s -> s.w)").alias("wl"),
-            )
-            .select(
-                F.expr(
-                    "transform(wl, w -> CAST(floor(1000.0D "
-                    "* (CAST(w AS DOUBLE) / sqrt(n2)) + 0.5D) AS BIGINT))"
-                ).alias("v")
-            )
-        )
-    return vq.select(
-        F.posexplode("v").alias("dim", "v_milli")
-    ).select(
-        F.col("dim").cast("long").alias("dim"),
+        w_by_dim = {int(r["dim"]): int(r["w"]) for r in rows}
+        wl = [w_by_dim.get(i, 0) for i in range(dim_n)]
+        n2 = 0.0
+        for w in wl:  # index-order left fold, as the oracle replays it
+            n2 += float(w) * float(w)
+        root = math.sqrt(n2)
+        v = [
+            int(math.floor(1000.0 * (float(w) / root) + 0.5)) for w in wl
+        ]
+    out = spark.createDataFrame(
+        [(i, int(v[i])) for i in range(dim_n)], "dim BIGINT, v_milli BIGINT"
+    )
+    return out.select(
+        "dim",
         "v_milli",
         F.round(F.col("v_milli").cast("double") / 1000.0, 6).alias(
             "component"
@@ -358,8 +380,13 @@ _MRR_K = 10
 )
 def e_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < _N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), "embedding"
+    # r12 (guide §2.4): the bounded probe frame feeds the exact AND the
+    # LSH arm — checkpointed so the filtered scan runs once (the
+    # v_lsh_recall_at_k fix; consumers broadcast via explicit hints).
+    probes = (
+        emb.filter(F.col("vec_id") < _N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+        .localCheckpoint(eager=False)
     )
     exact = (
         emb.crossJoin(

@@ -50,6 +50,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r12 (guide §3.1/§9): let the planner pick shuffled-hash join
+        # when its size conditions fit, and let AQE rewrite sort-merge
+        # to shuffled-hash at runtime when every post-shuffle partition
+        # is under 128 MB (default 0 = never). SHJ skips both sorts;
+        # interleaved A/B at sf0.1 measured flat-to-better on every
+        # join-heavy query (q21 -6% min, the cascade family -10-20%
+        # median) with no regressions. The 128 MB threshold is also the
+        # production guard: a build side bigger than that per partition
+        # falls back to sort-merge, which spills gracefully.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "134217728",
+        )
+        # r12 (guide §6): zstd for anything the engine writes — smaller
+        # than snappy at similar read speed. Read paths are unaffected.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.aggregatePushdown", "true")
@@ -59,6 +76,14 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
     )
+    # r12 (guide §6/§2.2, scale-parameterised — NOT tuned for local):
+    # on a real cluster raise the scan split size so large sequential
+    # scans schedule fewer, bigger map tasks (512m-1g per guide §6),
+    # which also shrinks M in the M×R shuffle-block product. Local
+    # default stays Spark's 128m so the driver's bench is unaffected.
+    max_part = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if max_part:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", max_part)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
