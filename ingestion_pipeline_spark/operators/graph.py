@@ -36,6 +36,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _loop_static(df: DataFrame, key: str) -> DataFrame:
+    """Materialize a frame that a fixed-point loop joins on ``key``
+    every round (r12, guide §2.4).
+
+    ``localCheckpoint(eager=True)`` cuts the (possibly expensive)
+    upstream lineage so it executes exactly once; the checkpoint alone
+    is not enough, because LogicalRDD carries no outputPartitioning and
+    every round would re-exchange (and re-sort) the whole edge list.
+    Repartitioning + sorting by the loop's join key and ``persist()``ing
+    (InMemoryRelation preserves its child's partitioning AND ordering)
+    makes every round's join consume the cached frame with NO Exchange
+    and NO Sort on this side — only the (much smaller) rank/label
+    vector is shuffled per round. Locally the vector side broadcasts
+    and this is moot; at scale it removes ``iters`` full edge-list
+    exchanges per query. Pure layout change: row set unchanged, and all
+    loop aggregates here (min, count, exact integer sums) are
+    order-insensitive, so results are bit-identical
+    (tests/test_graph_fixture_exact.py).
+
+    The cache MUST be materialized eagerly (the count() below): the
+    repartition compiles under AQE, so until the cached plan has
+    actually run, InMemoryRelation reports unknown partitioning and
+    every round compiled before first materialization would pay the
+    exchange anyway (measured: the join plans an Exchange+Sort above
+    the unmaterialized cache, none above the materialized one)."""
+    out = (
+        df.localCheckpoint(eager=True)
+        .repartition(key)
+        .sortWithinPartitions(key)
+        .persist()
+    )
+    out.count()
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -52,7 +87,10 @@ def connected_components(
     # Materialize the (possibly expensive) edge derivation ONCE — every
     # round joins against sym, and without this cut the full upstream
     # plan (e.g. the Jaccard shingle self-join) re-executes per round.
-    sym = sym.localCheckpoint(eager=True)
+    # r12: additionally laid out by the loop's join key so every
+    # round's sym⋈labels join is exchange- and sort-free on this side
+    # (see _loop_static).
+    sym = _loop_static(sym, "m")
     # Round 0 fused into initialization: label = min(self, neighbors)
     # straight from the edge list — one aggregate instead of a
     # distinct + a full join round. Star clusters whose center is the
@@ -217,9 +255,12 @@ def label_propagation(
     this boilerplate' style questions. Per round: one edges⋈labels
     shuffle + one (node, label) count + one argmax window."""
     fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    sym = fwd.union(
-        fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).localCheckpoint(eager=True)
+    # r12: laid out by the loop's join key (exchange- and sort-free
+    # edge side per round, see _loop_static).
+    sym = _loop_static(
+        fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))),
+        "s",
+    )
     nodes = (
         sym.select(F.col("s").alias("n")).distinct().localCheckpoint(eager=True)
     )
@@ -302,7 +343,10 @@ def pagerank_fixed_point(
     # the per-edge share `rank_fp div deg` is value-identical to
     # joining a per-node share (deg is constant per s, div is exact).
     deg = fwd.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    fwd_deg = fwd.join(deg, "s").localCheckpoint(eager=True)
+    # r12: laid out by the loop join key — every round's fwd_deg⋈ranks
+    # join reads the cached edge frame with no exchange and no sort;
+    # only the rank vector is shuffled per round (see _loop_static).
+    fwd_deg = _loop_static(fwd.join(deg, "s"), "s")
 
     init = PR_SCALE // n_total
     base = (15 * PR_SCALE) // (100 * n_total)
@@ -384,12 +428,13 @@ def personalized_pagerank_fixed_point(
     # (`rank_fp div deg` per edge == per-node share joined out), and
     # the symmetrized graph guarantees the contrib aggregate covers
     # every node, so the row set is identical.
-    fwd_deg = (
-        fwd.join(deg, "s")
-        .join(
+    # (and r12: laid out by the loop join key via _loop_static — the
+    # per-round join consumes the cached frame exchange- and sort-free.)
+    fwd_deg = _loop_static(
+        fwd.join(deg, "s").join(
             flagged.select(F.col("n").alias("d"), "is_seed"), "d"
-        )
-        .localCheckpoint(eager=True)
+        ),
+        "s",
     )
     init = PR_SCALE // n_seeds
     base = (15 * PR_SCALE) // (100 * n_seeds)
