@@ -36,37 +36,75 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _loop_static(df: DataFrame, key: str) -> DataFrame:
+# Conservative planner-side estimate of one rank/label-vector row
+# (two BIGINTs + row overhead) used by the _loop_static layout
+# decision below. Erring LOW keeps the cheap bare-checkpoint path
+# until the vector is clearly past the broadcast threshold.
+_VECTOR_ROW_BYTES = 24
+
+
+def _vector_broadcasts(spark, vector_rows: int) -> bool:
+    """Will a ``vector_rows``-row (node, long) frame broadcast under
+    the session's ``autoBroadcastJoinThreshold``? Drives the
+    scale-adaptive layout decision in :func:`_loop_static` — no magic
+    local-vs-cluster constant, just the same size test the planner
+    itself will make (threshold ``<= 0`` means broadcasting is
+    disabled, so the vector never broadcasts)."""
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try:
+        thr = int(raw)
+    except ValueError:
+        thr = (
+            spark.sparkContext._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(raw)
+        )
+    if thr <= 0:
+        return False
+    return vector_rows * _VECTOR_ROW_BYTES <= thr
+
+
+def _loop_static(df: DataFrame, key: str, vector_rows: int) -> DataFrame:
     """Materialize a frame that a fixed-point loop joins on ``key``
-    every round (r12, guide §2.4).
+    every round against an evolving ~``vector_rows``-row rank/label
+    vector (r12, guide §2.4), choosing the layout BY SCALE:
 
-    ``localCheckpoint(eager=True)`` cuts the (possibly expensive)
-    upstream lineage so it executes exactly once; the checkpoint alone
-    is not enough, because LogicalRDD carries no outputPartitioning and
-    every round would re-exchange (and re-sort) the whole edge list.
-    Repartitioning + sorting by the loop's join key and ``persist()``ing
-    (InMemoryRelation preserves its child's partitioning AND ordering)
-    makes every round's join consume the cached frame with NO Exchange
-    and NO Sort on this side — only the (much smaller) rank/label
-    vector is shuffled per round. Locally the vector side broadcasts
-    and this is moot; at scale it removes ``iters`` full edge-list
-    exchanges per query. Pure layout change: row set unchanged, and all
-    loop aggregates here (min, count, exact integer sums) are
+    - **Vector small enough to broadcast** (every local/bench graph —
+      the vector is two longs per node): each round is a broadcast
+      join that streams the checkpointed frame with no exchange on
+      either side, so extra layout work would be pure overhead
+      (measured at sf0.1: the always-on layout cost +0.3-0.6 s per
+      graph query for zero local benefit). Bare
+      ``localCheckpoint(eager=True)`` — byte-identical to the
+      pre-r12 shape.
+    - **Vector past the broadcast threshold** (real-scale graphs):
+      every round would shuffle AND sort BOTH sides. Repartition +
+      sort by the loop's join key and ``persist()`` (InMemoryRelation
+      preserves its child's partitioning and ordering; a checkpoint's
+      LogicalRDD carries neither) so each round consumes the cached
+      edge frame with NO Exchange and NO Sort — only the much smaller
+      vector is shuffled per round, removing ``iters`` full edge-list
+      exchanges per query. The eager ``count()`` matters: an
+      AQE-compiled cached plan reports unknown partitioning until it
+      has actually run, so rounds compiled before first
+      materialization would re-exchange anyway (measured both ways in
+      tests/test_graph_loop_layout.py).
+
+    Pure layout decision either way: row set unchanged, and all loop
+    aggregates here (min, count, exact integer sums) are
     order-insensitive, so results are bit-identical
-    (tests/test_graph_fixture_exact.py).
+    (tests/test_graph_fixture_exact.py pins the values, the layout
+    test pins the plan shape)."""
+    ck = df.localCheckpoint(eager=True)
+    if _vector_broadcasts(df.sparkSession, vector_rows):
+        return ck
+    return _keyed_layout(ck, key)
 
-    The cache MUST be materialized eagerly (the count() below): the
-    repartition compiles under AQE, so until the cached plan has
-    actually run, InMemoryRelation reports unknown partitioning and
-    every round compiled before first materialization would pay the
-    exchange anyway (measured: the join plans an Exchange+Sort above
-    the unmaterialized cache, none above the materialized one)."""
-    out = (
-        df.localCheckpoint(eager=True)
-        .repartition(key)
-        .sortWithinPartitions(key)
-        .persist()
-    )
+
+def _keyed_layout(ck: DataFrame, key: str) -> DataFrame:
+    """The layout branch of :func:`_loop_static` over an
+    already-materialized frame (exposed separately for the operators
+    whose vector size is only known after part of the build ran)."""
+    out = ck.repartition(key).sortWithinPartitions(key).persist()
     out.count()
     return out
 
@@ -87,10 +125,7 @@ def connected_components(
     # Materialize the (possibly expensive) edge derivation ONCE — every
     # round joins against sym, and without this cut the full upstream
     # plan (e.g. the Jaccard shingle self-join) re-executes per round.
-    # r12: additionally laid out by the loop's join key so every
-    # round's sym⋈labels join is exchange- and sort-free on this side
-    # (see _loop_static).
-    sym = _loop_static(sym, "m")
+    sym = sym.localCheckpoint(eager=True)
     # Round 0 fused into initialization: label = min(self, neighbors)
     # straight from the edge list — one aggregate instead of a
     # distinct + a full join round. Star clusters whose center is the
@@ -103,6 +138,14 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    # r12 scale-adaptive loop layout (see _loop_static): when the label
+    # vector (one row per distinct node — counted cheaply off its
+    # checkpoint) is too big to broadcast, lay sym out by the loop's
+    # join key so every round is exchange- and sort-free on the edge
+    # side; at bench scale the vector broadcasts and sym stays the
+    # bare checkpoint above (byte-identical to the pre-r12 shape).
+    if not _vector_broadcasts(sym.sparkSession, labels.count()):
+        sym = _keyed_layout(sym, "m")
 
     for _ in range(max_iter):
         nbr_labels = sym.join(
@@ -255,15 +298,16 @@ def label_propagation(
     this boilerplate' style questions. Per round: one edges⋈labels
     shuffle + one (node, label) count + one argmax window."""
     fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    # r12: laid out by the loop's join key (exchange- and sort-free
-    # edge side per round, see _loop_static).
-    sym = _loop_static(
-        fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))),
-        "s",
-    )
+    sym = fwd.union(
+        fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=True)
     nodes = (
         sym.select(F.col("s").alias("n")).distinct().localCheckpoint(eager=True)
     )
+    # r12 scale-adaptive loop layout (see _loop_static): lay sym out by
+    # the loop's join key only when the label vector cannot broadcast.
+    if not _vector_broadcasts(sym.sparkSession, nodes.count()):
+        sym = _keyed_layout(sym, "s")
     labels = nodes.select("n", F.col("n").alias("label"))
 
     for _ in range(iters):
@@ -343,10 +387,11 @@ def pagerank_fixed_point(
     # the per-edge share `rank_fp div deg` is value-identical to
     # joining a per-node share (deg is constant per s, div is exact).
     deg = fwd.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    # r12: laid out by the loop join key — every round's fwd_deg⋈ranks
-    # join reads the cached edge frame with no exchange and no sort;
-    # only the rank vector is shuffled per round (see _loop_static).
-    fwd_deg = _loop_static(fwd.join(deg, "s"), "s")
+    # r12 scale-adaptive loop layout: when the rank vector (n_total
+    # rows) cannot broadcast, lay the static edge frame out by the
+    # loop's join key so every round reads it exchange- and sort-free
+    # (see _loop_static; at bench scale this is the bare checkpoint).
+    fwd_deg = _loop_static(fwd.join(deg, "s"), "s", n_total)
 
     init = PR_SCALE // n_total
     base = (15 * PR_SCALE) // (100 * n_total)
@@ -428,13 +473,15 @@ def personalized_pagerank_fixed_point(
     # (`rank_fp div deg` per edge == per-node share joined out), and
     # the symmetrized graph guarantees the contrib aggregate covers
     # every node, so the row set is identical.
-    # (and r12: laid out by the loop join key via _loop_static — the
-    # per-round join consumes the cached frame exchange- and sort-free.)
+    # (and r12: the scale-adaptive loop layout — the rank vector spans
+    # the full node universe, counted cheaply off the nodes checkpoint;
+    # see _loop_static.)
     fwd_deg = _loop_static(
         fwd.join(deg, "s").join(
             flagged.select(F.col("n").alias("d"), "is_seed"), "d"
         ),
         "s",
+        nodes.count(),
     )
     init = PR_SCALE // n_seeds
     base = (15 * PR_SCALE) // (100 * n_seeds)

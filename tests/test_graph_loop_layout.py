@@ -1,19 +1,26 @@
-"""Plan pins for the r12 ``_loop_static`` layout optimization
+"""Plan pins for the r12 scale-adaptive ``_loop_static`` layout
 (`operators/graph.py`): a fixed-point loop's static edge frame is
-checkpointed, hash-partitioned + sorted by the loop's join key and
+checkpointed and — ONLY when the evolving rank/label vector is too big
+to broadcast — hash-partitioned + sorted by the loop's join key and
 persist()ed, so each round's join consumes it with NO Exchange and NO
 Sort on the edge side. ``localCheckpoint`` alone erases partitioning
 (LogicalRDD carries none), which is exactly what this pins against
-regressing. Value equality of the operators themselves is pinned by
+regressing; at broadcastable vector sizes the bare checkpoint is kept
+(byte-identical to the pre-r12 shape — the layout job measured
++0.3-0.6 s per graph query locally for zero local benefit). Value
+equality of the operators themselves is pinned by
 tests/test_graph_fixture_exact.py; this module pins the PLAN property
-the optimization exists for.
+and the scale decision.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ingestion_pipeline_spark.operators.graph import _loop_static
+from ingestion_pipeline_spark.operators.graph import (
+    _loop_static,
+    _vector_broadcasts,
+)
 
 
 def _fmt_plan(df) -> str:
@@ -35,8 +42,33 @@ def _round_join(spark, static):
     )
 
 
+def test_vector_broadcasts_reads_session_threshold(spark):
+    assert _vector_broadcasts(spark, 100)
+    assert not _vector_broadcasts(spark, 10**9)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # broadcasting disabled -> the vector NEVER broadcasts, any size
+        assert not _vector_broadcasts(spark, 1)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_small_vector_keeps_bare_checkpoint(spark):
+    """At broadcastable vector sizes _loop_static must stay the plain
+    localCheckpoint — no cache, no extra layout job (the local bench
+    path)."""
+    edges = spark.range(1000).select(
+        (F.col("id") % 100).alias("s"), (F.col("id") % 97).alias("d")
+    )
+    out = _loop_static(edges, "s", vector_rows=100)
+    plan = _fmt_plan(out)
+    assert "Scan ExistingRDD" in plan
+    assert "InMemoryTableScan" not in plan
+
+
 def test_loop_static_side_is_exchange_and_sort_free(spark):
-    """Under a no-broadcast planner, the _loop_static side of the round
+    """Under a no-broadcast planner, the laid-out side of the round
     join must plan without its own Exchange or Sort (the cached layout
     satisfies both requirements); the identical frame materialized via
     bare localCheckpoint must need one of each — proving the layout,
@@ -56,10 +88,11 @@ def test_loop_static_side_is_exchange_and_sort_free(spark):
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "0"
     )
     try:
+        # threshold -1 -> the vector can never broadcast -> layout on.
         # _loop_static materializes its cache eagerly — required, since
         # an AQE-compiled cached plan reports unknown partitioning
-        # until it has run and the join would re-exchange regardless
-        laid_out = _round_join(spark, _loop_static(edges, "s"))
+        # until it has run and the join would re-exchange regardless.
+        laid_out = _round_join(spark, _loop_static(edges, "s", 100))
         bare = _round_join(
             spark, edges.localCheckpoint(eager=True)
         )
