@@ -36,79 +36,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-# Conservative planner-side estimate of one rank/label-vector row
-# (two BIGINTs + row overhead) used by the _loop_static layout
-# decision below. Erring LOW keeps the cheap bare-checkpoint path
-# until the vector is clearly past the broadcast threshold.
-_VECTOR_ROW_BYTES = 24
-
-
-def _vector_broadcasts(spark, vector_rows: int) -> bool:
-    """Will a ``vector_rows``-row (node, long) frame broadcast under
-    the session's ``autoBroadcastJoinThreshold``? Drives the
-    scale-adaptive layout decision in :func:`_loop_static` — no magic
-    local-vs-cluster constant, just the same size test the planner
-    itself will make (threshold ``<= 0`` means broadcasting is
-    disabled, so the vector never broadcasts)."""
-    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    try:
-        thr = int(raw)
-    except ValueError:
-        thr = (
-            spark.sparkContext._jvm.org.apache.spark.network.util.JavaUtils
-            .byteStringAsBytes(raw)
-        )
-    if thr <= 0:
-        return False
-    return vector_rows * _VECTOR_ROW_BYTES <= thr
-
-
-def _loop_static(df: DataFrame, key: str, vector_rows: int) -> DataFrame:
-    """Materialize a frame that a fixed-point loop joins on ``key``
-    every round against an evolving ~``vector_rows``-row rank/label
-    vector (r12, guide §2.4), choosing the layout BY SCALE:
-
-    - **Vector small enough to broadcast** (every local/bench graph —
-      the vector is two longs per node): each round is a broadcast
-      join that streams the checkpointed frame with no exchange on
-      either side, so extra layout work would be pure overhead
-      (measured at sf0.1: the always-on layout cost +0.3-0.6 s per
-      graph query for zero local benefit). Bare
-      ``localCheckpoint(eager=True)`` — byte-identical to the
-      pre-r12 shape.
-    - **Vector past the broadcast threshold** (real-scale graphs):
-      every round would shuffle AND sort BOTH sides. Repartition +
-      sort by the loop's join key and ``persist()`` (InMemoryRelation
-      preserves its child's partitioning and ordering; a checkpoint's
-      LogicalRDD carries neither) so each round consumes the cached
-      edge frame with NO Exchange and NO Sort — only the much smaller
-      vector is shuffled per round, removing ``iters`` full edge-list
-      exchanges per query. The eager ``count()`` matters: an
-      AQE-compiled cached plan reports unknown partitioning until it
-      has actually run, so rounds compiled before first
-      materialization would re-exchange anyway (measured both ways in
-      tests/test_graph_loop_layout.py).
-
-    Pure layout decision either way: row set unchanged, and all loop
-    aggregates here (min, count, exact integer sums) are
-    order-insensitive, so results are bit-identical
-    (tests/test_graph_fixture_exact.py pins the values, the layout
-    test pins the plan shape)."""
-    ck = df.localCheckpoint(eager=True)
-    if _vector_broadcasts(df.sparkSession, vector_rows):
-        return ck
-    return _keyed_layout(ck, key)
-
-
-def _keyed_layout(ck: DataFrame, key: str) -> DataFrame:
-    """The layout branch of :func:`_loop_static` over an
-    already-materialized frame (exposed separately for the operators
-    whose vector size is only known after part of the build ran)."""
-    out = ck.repartition(key).sortWithinPartitions(key).persist()
-    out.count()
-    return out
-
-
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -138,14 +65,6 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    # r12 scale-adaptive loop layout (see _loop_static): when the label
-    # vector (one row per distinct node — counted cheaply off its
-    # checkpoint) is too big to broadcast, lay sym out by the loop's
-    # join key so every round is exchange- and sort-free on the edge
-    # side; at bench scale the vector broadcasts and sym stays the
-    # bare checkpoint above (byte-identical to the pre-r12 shape).
-    if not _vector_broadcasts(sym.sparkSession, labels.count()):
-        sym = _keyed_layout(sym, "m")
 
     for _ in range(max_iter):
         nbr_labels = sym.join(
@@ -304,10 +223,6 @@ def label_propagation(
     nodes = (
         sym.select(F.col("s").alias("n")).distinct().localCheckpoint(eager=True)
     )
-    # r12 scale-adaptive loop layout (see _loop_static): lay sym out by
-    # the loop's join key only when the label vector cannot broadcast.
-    if not _vector_broadcasts(sym.sparkSession, nodes.count()):
-        sym = _keyed_layout(sym, "s")
     labels = nodes.select("n", F.col("n").alias("label"))
 
     for _ in range(iters):
@@ -387,11 +302,7 @@ def pagerank_fixed_point(
     # the per-edge share `rank_fp div deg` is value-identical to
     # joining a per-node share (deg is constant per s, div is exact).
     deg = fwd.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    # r12 scale-adaptive loop layout: when the rank vector (n_total
-    # rows) cannot broadcast, lay the static edge frame out by the
-    # loop's join key so every round reads it exchange- and sort-free
-    # (see _loop_static; at bench scale this is the bare checkpoint).
-    fwd_deg = _loop_static(fwd.join(deg, "s"), "s", n_total)
+    fwd_deg = fwd.join(deg, "s").localCheckpoint(eager=True)
 
     init = PR_SCALE // n_total
     base = (15 * PR_SCALE) // (100 * n_total)
@@ -473,15 +384,12 @@ def personalized_pagerank_fixed_point(
     # (`rank_fp div deg` per edge == per-node share joined out), and
     # the symmetrized graph guarantees the contrib aggregate covers
     # every node, so the row set is identical.
-    # (and r12: the scale-adaptive loop layout — the rank vector spans
-    # the full node universe, counted cheaply off the nodes checkpoint;
-    # see _loop_static.)
-    fwd_deg = _loop_static(
-        fwd.join(deg, "s").join(
+    fwd_deg = (
+        fwd.join(deg, "s")
+        .join(
             flagged.select(F.col("n").alias("d"), "is_seed"), "d"
-        ),
-        "s",
-        nodes.count(),
+        )
+        .localCheckpoint(eager=True)
     )
     init = PR_SCALE // n_seeds
     base = (15 * PR_SCALE) // (100 * n_seeds)
