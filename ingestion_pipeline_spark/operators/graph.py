@@ -32,8 +32,126 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_SIZE_UNITS = {
+    "tb": 1024**4, "gb": 1024**3, "mb": 1024**2, "kb": 1024,
+    "t": 1024**4, "g": 1024**3, "m": 1024**2, "k": 1024, "b": 1,
+}
+
+
+def _size_bytes(raw: object, default: int) -> int:
+    """Parse a Spark size conf value ('10MB', '64m', '-1', plain bytes)."""
+    s = str(raw).strip().lower()
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    for unit in ("tb", "gb", "mb", "kb", "t", "g", "m", "k", "b"):
+        if s.endswith(unit):
+            try:
+                return int(float(s[: -len(unit)]) * _SIZE_UNITS[unit])
+            except ValueError:
+                return default
+    return default
+
+
+# In-memory bytes per row of a loop's rank/label vector (two longs +
+# UnsafeRow overhead), deliberately generous so the layout engages only
+# when the vector is clearly past broadcasting.
+_VECTOR_ROW_BYTES = 32
+# Cached bytes per edge row (2-3 longs + cache-column overhead).
+_EDGE_ROW_BYTES = 48
+# Smallest laid partition worth a task: below this, more partitions is
+# pure scheduling overhead (the r12 §20 failure); above it, partitions
+# up to the executor parallelism keep the loop's join + partial
+# aggregation stages parallel.
+_MIN_PART_BYTES = 8 * 1024**2
+
+
+def _layout_engaged(df: DataFrame, vector_rows: int) -> bool:
+    """True when a fixed-point loop's evolving rank/label vector can NOT
+    broadcast under the session's autoBroadcastJoinThreshold — the
+    regime where pre-laying-out the static edge side pays (r13; guide
+    §2.4). On every local-bench graph the vector broadcasts and this
+    returns False, keeping the plain-checkpoint loop byte-identical.
+    ``SPARK_GRAFT_GRAPH_LAYOUT=0`` force-disables (the A/B kill switch).
+    """
+    if os.environ.get("SPARK_GRAFT_GRAPH_LAYOUT", "1") == "0":
+        return False
+    thr = _size_bytes(
+        df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        ),
+        10 * 1024 * 1024,
+    )
+    return thr < 0 or vector_rows * _VECTOR_ROW_BYTES > thr
+
+
+def _layout_loop_frame(
+    frame: DataFrame, key: str, n_rows: int
+) -> tuple[DataFrame, int]:
+    """Hash-partition + sort a loop's static edge-side frame by its join
+    key and persist it MATERIALIZED, so every round's join consumes the
+    edge side exchange- and sort-free and only the (much smaller) rank/
+    label vector is shuffled per round (guide §2.4: operations keyed
+    the same way share one exchange). Returns ``(laid, n_parts)`` —
+    callers must ALSO repartition the vector side to ``n_parts`` on the
+    same key each round: when the vector arrives with its own valid
+    hash partitioning at a different count (the previous round's
+    aggregate), EnsureRequirements resolves the mismatch by
+    re-exchanging the SMALLER side — the cache — which silently
+    reinstates the per-round edge exchange (measured on Spark 4.1.2;
+    plans/r13/graph_loop_layout_round.txt is the co-partitioned shape).
+
+    Two hard-won r12 §20 facts drive the shape:
+    - persist, not localCheckpoint: a checkpoint's LogicalRDD erases
+      outputPartitioning/ordering (and Catalyst stats), so a
+      checkpointed layout is re-exchanged every round;
+    - the partition count derives from the FRAME'S OWN BYTES at the
+      session's advisory partition size, never a pinned local constant:
+      the r12 attempt cached at the core count (32) and lost 2-3x
+      because every sub-MB round paid 32-task scheduling overhead that
+      AQE could no longer coalesce away.
+
+    Caller must unpersist the returned frame once the loop's final
+    checkpoint has materialized.
+    """
+    spark = frame.sparkSession
+    adv = _size_bytes(
+        spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864"
+        ),
+        64 * 1024**2,
+    )
+    # Three terms (all size-derived — never a pinned constant, the r12
+    # §20 failure):
+    # - bytes/advisory: the at-scale partition count;
+    # - min(parallelism, bytes/8MB): mid-size frames keep the loop's
+    #   join AND the partial-aggregation stage above it parallel
+    #   (everything below one advisory partition otherwise runs the
+    #   whole loop at 2-3 tasks), while sub-8MB-per-task frames never
+    #   fan out to the core count;
+    # - floor 2, not 1: repartition(1, key) compiles to Exchange
+    #   SinglePartition, whose output partitioning is not
+    #   HashPartitioning(key) — the loop joins would re-exchange the
+    #   cache every round (measured on Spark 4.1.2).
+    est_bytes = n_rows * _EDGE_ROW_BYTES
+    par = spark.sparkContext.defaultParallelism
+    n_parts = max(
+        2,
+        math.ceil(est_bytes / max(adv, 1)),
+        min(par, math.ceil(est_bytes / _MIN_PART_BYTES)),
+    )
+    laid = frame.repartition(n_parts, key).sortWithinPartitions(key).persist()
+    # An AQE-compiled cached plan reports unknown partitioning until the
+    # cache is materialized — force it before compiling loop rounds.
+    laid.count()
+    return laid, n_parts
 
 
 def connected_components(
@@ -64,12 +182,30 @@ def connected_components(
         .agg(F.min("m").alias("label"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # node count folded into the existing convergence-witness aggregate
+    # (no extra job): it sizes the label vector for the r13 layout
+    # decision below.
+    first = labels.agg(
+        F.sum("label").alias("s"), F.count(F.lit(1)).alias("c")
+    ).first()
+    prev_sum, n_nodes = first["s"], first["c"]
+    # r13 (guide §2.4): when the label vector cannot broadcast, lay the
+    # static edge frame out by the loop's join key once so no round
+    # re-exchanges it; broadcast regime (every local graph) keeps the
+    # plain checkpointed frame and pays nothing.
+    loop_sym, cached, n_parts = sym, None, 0
+    if _layout_engaged(sym, n_nodes):
+        loop_sym, n_parts = _layout_loop_frame(sym, "m", sym.count())
+        cached = loop_sym
 
     for _ in range(max_iter):
-        nbr_labels = sym.join(
-            labels.select(F.col("n").alias("m"), "label"), "m"
-        ).select("n", "label")
+        vec = labels.select(F.col("n").alias("m"), "label")
+        if cached is not None:
+            # co-partition the vector to the laid frame (see
+            # _layout_loop_frame: a mismatched valid partitioning makes
+            # EnsureRequirements re-exchange the cache instead)
+            vec = vec.repartition(n_parts, "m")
+        nbr_labels = loop_sym.join(vec, "m").select("n", "label")
         labels = (
             labels.select("n", "label")
             .union(nbr_labels)
@@ -82,6 +218,8 @@ def connected_components(
             break
         prev_sum = cur_sum
 
+    if cached is not None:  # labels are checkpoint-materialized above
+        cached.unpersist(False)
     return labels.select("n", F.col("label").alias("component"))
 
 
@@ -148,6 +286,14 @@ def pagerank(
     ranks = nodes.select("n", F.lit(1.0 / n_total).alias("rank"))
     base = (1.0 - damping) / n_total
 
+    # r13 (guide §2.4): in the non-broadcast regime lay the static edge
+    # frame out by the loop key once; local graphs broadcast the rank
+    # vector and keep the plain checkpoint.
+    loop_fwd, cached, n_parts = fwd, None, 0
+    if _layout_engaged(fwd, n_total):
+        loop_fwd, n_parts = _layout_loop_frame(fwd, "s", fwd.count())
+        cached = loop_fwd
+
     # a symmetrized graph cannot have dangling nodes (every node that
     # appears has at least one out-edge) — skip the correction and its
     # per-round aggregate entirely
@@ -160,8 +306,12 @@ def pagerank(
             (F.col("rank") / F.col("deg")).alias("share"),
             F.col("deg").isNull().alias("dangling"),
         )
+        shares = weighted.select(F.col("n").alias("s"), "share")
+        if cached is not None:
+            # co-partition to the laid frame (see _layout_loop_frame)
+            shares = shares.repartition(n_parts, "s")
         contribs = (
-            fwd.join(weighted.select(F.col("n").alias("s"), "share"), "s")
+            loop_fwd.join(shares, "s")
             .groupBy(F.col("d").alias("n"))
             .agg(F.sum("share").alias("contrib"))
         )
@@ -187,6 +337,8 @@ def pagerank(
         if (it + 1) % checkpoint_interval == 0 or it == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
 
+    if cached is not None:  # final ranks checkpoint is materialized
+        cached.unpersist(False)
     return ranks.select("n", "rank")
 
 
@@ -225,10 +377,24 @@ def label_propagation(
     )
     labels = nodes.select("n", F.col("n").alias("label"))
 
+    # r13 (guide §2.4): one ~50 ms count on the materialized node frame
+    # sizes the label vector; when it cannot broadcast, the static edge
+    # frame is laid out by the loop key once instead of being
+    # re-exchanged every round. Local graphs broadcast → plain path.
+    n_nodes = nodes.count()
+    loop_sym, cached, n_parts = sym, None, 0
+    if _layout_engaged(sym, n_nodes):
+        loop_sym, n_parts = _layout_loop_frame(sym, "s", sym.count())
+        cached = loop_sym
+
     for _ in range(iters):
-        neigh = sym.join(
-            labels.select(F.col("n").alias("s"), "label"), "s"
-        ).select(F.col("d").alias("n"), "label")
+        vec = labels.select(F.col("n").alias("s"), "label")
+        if cached is not None:
+            # co-partition to the laid frame (see _layout_loop_frame)
+            vec = vec.repartition(n_parts, "s")
+        neigh = loop_sym.join(vec, "s").select(
+            F.col("d").alias("n"), "label"
+        )
         votes = (
             neigh.unionByName(labels)  # self-vote
             .groupBy("n", "label")
@@ -253,6 +419,8 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
 
+    if cached is not None:  # labels are checkpoint-materialized per round
+        cached.unpersist(False)
     return labels.select("n", F.col("label").alias("community"))
 
 
@@ -302,7 +470,18 @@ def pagerank_fixed_point(
     # the per-edge share `rank_fp div deg` is value-identical to
     # joining a per-node share (deg is constant per s, div is exact).
     deg = fwd.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    fwd_deg = fwd.join(deg, "s").localCheckpoint(eager=True)
+    # r13 (guide §2.4): when the rank vector cannot broadcast, lay the
+    # static edge+degree frame out by the loop's join key once (persist
+    # keeps the partitioning; size-derived partition count — see
+    # _layout_loop_frame) so no round re-exchanges the edge list; the
+    # broadcast regime (every local graph) keeps the checkpointed frame
+    # and its byte-identical plan.
+    cached, n_parts = None, 0
+    if _layout_engaged(fwd, n_total):
+        fwd_deg, n_parts = _layout_loop_frame(fwd.join(deg, "s"), "s", fwd.count())
+        cached = fwd_deg
+    else:
+        fwd_deg = fwd.join(deg, "s").localCheckpoint(eager=True)
 
     init = PR_SCALE // n_total
     base = (15 * PR_SCALE) // (100 * n_total)
@@ -314,8 +493,12 @@ def pagerank_fixed_point(
         # per-round nodes left-join (another full exchange) was
         # redundant and is gone (r12; equality pinned by
         # tests/test_graph_fixture_exact.py and the unrolled oracles).
+        rv = ranks.withColumnRenamed("n", "s")
+        if cached is not None:
+            # co-partition to the laid frame (see _layout_loop_frame)
+            rv = rv.repartition(n_parts, "s")
         ranks = (
-            fwd_deg.join(ranks.withColumnRenamed("n", "s"), "s")
+            fwd_deg.join(rv, "s")
             .groupBy(F.col("d").alias("n"))
             .agg(F.sum(F.expr("rank_fp div deg")).alias("contrib"))
             .select(
@@ -329,6 +512,8 @@ def pagerank_fixed_point(
         if (it + 1) % checkpoint_interval == 0 or it == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
 
+    if cached is not None:  # final ranks checkpoint is materialized
+        cached.unpersist(False)
     return ranks.select("n", "rank_fp")
 
 
@@ -363,19 +548,31 @@ def personalized_pagerank_fixed_point(
         .localCheckpoint(eager=True)
     )
     seed_col = seeds.columns[0]
-    seed_nodes = (
+    # r13: flagged (n, is_seed) is the node universe both the init
+    # vector and the static edge frame read — checkpointed once, and
+    # its single materializing aggregate returns n_seeds AND n_nodes
+    # (the vector size for the layout decision below) in one job, the
+    # same job count as the old seed_nodes checkpoint + count.
+    flagged = (
         nodes.join(
-            F.broadcast(seeds.select(F.col(seed_col).alias("n"))), "n"
-        ).localCheckpoint(eager=True)
+            F.broadcast(
+                seeds.select(
+                    F.col(seed_col).alias("n"), F.lit(1).alias("is_seed")
+                )
+            ),
+            "n",
+            "left",
+        )
+        .select("n", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+        .localCheckpoint(eager=True)
     )
-    n_seeds = seed_nodes.count()
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("nn"), F.sum("is_seed").alias("ns")
+    ).first()
+    n_nodes, n_seeds = counts["nn"], counts["ns"] or 0
     if n_seeds == 0:
         return nodes.select("n", F.lit(0).cast("long").alias("rank_fp"))
     deg = fwd.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-
-    flagged = nodes.join(
-        F.broadcast(seed_nodes.select("n", F.lit(1).alias("is_seed"))), "n", "left"
-    ).select("n", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
     # Static per-edge frame built ONCE (r12 optimization, guide §2.4):
     # out-degree of the source AND seed flag of the destination ride
     # every edge, so the loop needs neither the per-round ranks⋈deg
@@ -384,13 +581,17 @@ def personalized_pagerank_fixed_point(
     # (`rank_fp div deg` per edge == per-node share joined out), and
     # the symmetrized graph guarantees the contrib aggregate covers
     # every node, so the row set is identical.
-    fwd_deg = (
-        fwd.join(deg, "s")
-        .join(
-            flagged.select(F.col("n").alias("d"), "is_seed"), "d"
-        )
-        .localCheckpoint(eager=True)
+    fwd_deg_lazy = fwd.join(deg, "s").join(
+        flagged.select(F.col("n").alias("d"), "is_seed"), "d"
     )
+    # r13 (guide §2.4): same layout decision as pagerank_fixed_point —
+    # see _layout_engaged/_layout_loop_frame.
+    cached, n_parts = None, 0
+    if _layout_engaged(fwd, n_nodes):
+        fwd_deg, n_parts = _layout_loop_frame(fwd_deg_lazy, "s", fwd.count())
+        cached = fwd_deg
+    else:
+        fwd_deg = fwd_deg_lazy.localCheckpoint(eager=True)
     init = PR_SCALE // n_seeds
     base = (15 * PR_SCALE) // (100 * n_seeds)
     ranks = flagged.select(
@@ -398,10 +599,12 @@ def personalized_pagerank_fixed_point(
     )
 
     for it in range(iters):
+        rv = ranks.withColumnRenamed("n", "s")
+        if cached is not None:
+            # co-partition to the laid frame (see _layout_loop_frame)
+            rv = rv.repartition(n_parts, "s")
         ranks = (
-            fwd_deg.join(
-                ranks.withColumnRenamed("n", "s"), "s"
-            )
+            fwd_deg.join(rv, "s")
             .groupBy(F.col("d").alias("n"))
             .agg(
                 F.sum(F.expr("rank_fp div deg")).alias("contrib"),
@@ -418,6 +621,8 @@ def personalized_pagerank_fixed_point(
         if (it + 1) % checkpoint_interval == 0 or it == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
 
+    if cached is not None:  # final ranks checkpoint is materialized
+        cached.unpersist(False)
     return ranks.select("n", "rank_fp")
 
 
