@@ -151,20 +151,27 @@ def d_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=False)
     )
-    raw_c = per3.groupBy("b").agg(F.sum("tf").alias("cr"))
-    tgt_c = (
-        per3.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.sum("tf").alias("ct"))
-    )
-    tot = raw_c.agg(F.sum("cr").cast("double").alias("r")).crossJoin(
-        tgt_c.agg(
-            F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("t")
+    # r13 (VERDICT r12 #5, guide §2.3): raw and target counts in ONE
+    # aggregate pass over per3 — the conditional sum is NULL exactly
+    # where the old separate tgt_c aggregate left the left-join's ct
+    # NULL (sum over an empty/all-NULL group), so the downstream
+    # coalesce sees identical values. This removes the second groupBy(b)
+    # pass, the raw_c⋈tgt_c join, and one of the two 1-row total
+    # aggregates (t now derives from the same ≤256-row frame).
+    bc = (
+        per3.groupBy("b")
+        .agg(
+            F.sum("tf").alias("cr"),
+            F.sum(F.when(F.col("lang") == "en", F.col("tf"))).alias("ct"),
         )
+        .localCheckpoint(eager=False)
+    )
+    tot = bc.agg(
+        F.sum("cr").cast("double").alias("r"),
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("t"),
     )
     lr = (
-        raw_c.join(tgt_c, "b", "left")
-        .crossJoin(F.broadcast(tot))
+        bc.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.log2(
