@@ -82,9 +82,21 @@ def fuzzy_self_join(
     # strs feeds both posting sides of the self-join — checkpointed so
     # the distinct aggregate runs once, not per side.
     strs = rows.select("__str").distinct().localCheckpoint(eager=False)
+    # r13 (guide §2.3 "shuffle keys, not payloads"; VERDICT r12 #4):
+    # the join key is xxhash64(variant), computed map-side, so the
+    # ~len(str) variant STRINGS per row never cross the posting
+    # exchange — each posting row shrinks from (str + variant) to
+    # (str + 8 bytes). Value-identical: every lev<=1 pair of distinct
+    # strings shares >=1 deletion variant (FastSS completeness for
+    # d=1: a substitution pair shares the delete-at-i variant, an
+    # insert/delete pair shares the shorter string itself), so hashing
+    # cannot LOSE a true pair (equal variants => equal hashes); a hash
+    # COLLISION only adds candidates, which the levenshtein filter
+    # below prunes unless they are true lev<=1 pairs — and those are
+    # already in the set — before the distinct dedupes.
     postings = strs.select(
         "__str", F.explode(_neighborhood_expr("__str")).alias("__variant")
-    )
+    ).select("__str", F.xxhash64("__variant").alias("__vh"))
     right = postings.withColumnRenamed("__str", "__str_r")
     # merge hint: postings explode ~len× past the scan the optimizer
     # sizes the build side from — never broadcast a fan-out table.
@@ -95,7 +107,7 @@ def fuzzy_self_join(
     # vs over 3.3 M survivors)
     str_pairs = (
         postings.hint("merge")
-        .join(right, "__variant")
+        .join(right, "__vh")
         .filter(F.col("__str") < F.col("__str_r"))  # each unordered pair once
         .withColumn("dist", F.levenshtein("__str", "__str_r"))
         .filter(F.col("dist") <= max_dist)
