@@ -107,14 +107,10 @@ def d_minhash_lsh_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    left, right = bands.alias("l"), bands.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
-        .distinct()
-    )
+    # r13: shared banded self-join (optional hot-bucket skew split,
+    # guide §2.5 — value-identical, engaged via $SPARK_GRAFT_LSH_HOT_BUCKET;
+    # join_hint=None keeps this variant's pre-r13 unhinted plan when
+    # the knob is unset).
+    from ..operators.dedup import banded_self_join_pairs
+
+    return banded_self_join_pairs(bands, id_col="doc_id", join_hint=None)
