@@ -55,10 +55,23 @@ def probe_cosine_np(probe: list[float]):
     def cos(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="float64")
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        num = mat @ pv
-        den = np.sqrt(np.einsum("ij,ij->i", mat, mat)) * pn
-        return pd.Series(np.where(den > 0, num / np.where(den == 0, 1.0, den), 0.0))
+        valid = vecs.notna().to_numpy()
+        if valid.all():  # fast path: bitwise-identical to the r12 kernel
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            num = mat @ pv
+            den = np.sqrt(np.einsum("ij,ij->i", mat, mat)) * pn
+            return pd.Series(np.where(den > 0, num / np.where(den == 0, 1.0, den), 0.0))
+        # ADVICE r12: NULL vectors must yield NULL sims (the old HOF
+        # cosine's SQL null propagation), not crash np.stack
+        res = np.zeros(len(vecs), dtype=np.float64)
+        if valid.any():
+            mat = np.stack(vecs[valid].to_numpy()).astype(np.float64)
+            num = mat @ pv
+            den = np.sqrt(np.einsum("ij,ij->i", mat, mat)) * pn
+            res[valid] = np.where(den > 0, num / np.where(den == 0, 1.0, den), 0.0)
+        out = pd.Series(res, dtype="Float64")
+        out[~valid] = pd.NA
+        return out
 
     return cos.asNondeterministic()
 
@@ -175,13 +188,29 @@ def cosine_pairs_np():
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype="float64")
-        A = np.stack(a.to_numpy()).astype(np.float64)
-        B = np.stack(b.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
-            np.einsum("ij,ij->i", B, B)
-        )
-        return pd.Series(np.where(den > 0, num / np.where(den == 0, 1.0, den), 0.0))
+        valid = (a.notna() & b.notna()).to_numpy()
+        if valid.all():  # fast path: bitwise-identical to the r12 kernel
+            A = np.stack(a.to_numpy()).astype(np.float64)
+            B = np.stack(b.to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                np.einsum("ij,ij->i", B, B)
+            )
+            return pd.Series(np.where(den > 0, num / np.where(den == 0, 1.0, den), 0.0))
+        # ADVICE r12: NULL on either side yields a NULL sim (SQL null
+        # propagation of the old HOF form), not an np.stack crash
+        res = np.zeros(len(a), dtype=np.float64)
+        if valid.any():
+            A = np.stack(a[valid].to_numpy()).astype(np.float64)
+            B = np.stack(b[valid].to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                np.einsum("ij,ij->i", B, B)
+            )
+            res[valid] = np.where(den > 0, num / np.where(den == 0, 1.0, den), 0.0)
+        out = pd.Series(res, dtype="Float64")
+        out[~valid] = pd.NA
+        return out
 
     return cos
 

@@ -171,6 +171,12 @@ def v_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         for w in wl:  # index-order left fold, as the oracle replays it
             n2 += float(w) * float(w)
         root = math.sqrt(n2)
+        if root == 0.0:
+            # ADVICE r12: an empty / all-zero corpus gave the old SQL
+            # path IEEE NaN, and this Python replay a ZeroDivisionError;
+            # keep v unchanged (a fixed point) instead of raising. No
+            # declared fixture reaches this branch.
+            continue
         v = [
             int(math.floor(1000.0 * (float(w) / root) + 0.5)) for w in wl
         ]

@@ -142,3 +142,30 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
     recall_multi = len(multi & exact) / len(exact)
     assert recall_multi >= recall_single
     assert recall_multi > 0.5  # flips recover most boundary neighbors
+
+
+def test_cosine_kernels_null_vectors_yield_null(spark):
+    """ADVICE r12: NULL vector rows must propagate to NULL sims (the old
+    HOF cosine's SQL semantics), not crash np.stack."""
+    from pyspark.sql import functions as F
+
+    from ingestion_pipeline_spark.operators.similarity import (
+        cosine_pairs_np,
+        probe_cosine_np,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, None, [1.0, 0.0]), (3, [0.0, 1.0], None)],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r["id"]: (r["s1"], r["s2"])
+        for r in df.select(
+            "id",
+            probe_cosine_np([1.0, 0.0])(F.col("a")).alias("s1"),
+            cosine_pairs_np()(F.col("a"), F.col("b")).alias("s2"),
+        ).collect()
+    }
+    assert got[1] == (1.0, 1.0)
+    assert got[2] == (None, None)
+    assert got[3][0] == 0.0 and got[3][1] is None
