@@ -65,3 +65,31 @@ from . import registry_ext63  # noqa: F401  — tokenizer fertility, token budge
 from . import registry_ext64  # noqa: F401  — mixture manifest, LSH band tuning, Benford deviation
 from . import registry_ext65  # noqa: F401  — join-skew profile, minhash calibration, dedup cascade
 from . import registry_ext66  # noqa: F401  — capped production graph diagnostics: triangle census
+
+
+def release_caches(spark) -> int:
+    """Registry-boundary cache contract (r13, VERDICT r12 #9).
+
+    Several registry plans persist bounded intermediate frames INSIDE
+    the query builder (``cascade_frames``'s survivor/edge frames,
+    ``d_minhash_band_tuning``'s grouped buckets, the graph loops'
+    engaged-regime edge layout) — materialization always executes
+    within the caller's action, never across runs, but the blocks
+    outlive the action by design (Spark cannot unpersist a frame the
+    returned plan still reads before that plan has run). One-shot
+    embedders must therefore call this between queries — exactly what
+    ``bench.py`` and the differential harness do — or accumulate
+    duplicate cached blocks across ``query_map()`` consumers.
+
+    Returns the number of RDDs released.
+    """
+    # clearCache first so no stale CacheManager entry can resurrect a
+    # block; then drop any persist()ed RDDs the cache manager no longer
+    # tracks (the bench-hygiene pattern, bench.py:344-357).
+    spark.catalog.clearCache()
+    jrdds = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    n = jrdds.size()
+    it = jrdds.values().iterator()
+    while it.hasNext():
+        it.next().unpersist(False)
+    return n
